@@ -1,0 +1,46 @@
+"""Model/predictor builders (reference sam2/sam2/build_sam.py without hydra).
+
+The reference resolves Hydra yaml names like "configs/sam2.1/sam2.1_hiera_l.yaml";
+we accept those strings too and map them to config variants, so existing
+call sites keep working.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from sam2_opt_tpu.models.model import SAM2Model, build_sam2 as _build_model
+
+
+def _variant_from_config_name(name: str) -> str:
+    m = re.search(r"hiera_(t|s|b\+|l)", name)
+    if m:
+        return f"hiera_{m.group(1)}"
+    return name
+
+
+def build_sam2(config_or_variant: str = "hiera_l", ckpt_path: Optional[str] = None,
+               device=None, mode="eval", **kwargs) -> SAM2Model:
+    """Build the core model (reference build_sam2, build_sam.py:71-97)."""
+    variant = _variant_from_config_name(config_or_variant)
+    return _build_model(variant, checkpoint_path=ckpt_path)
+
+
+def build_sam2_image_predictor(config_or_variant: str = "hiera_l",
+                               ckpt_path: Optional[str] = None, **kwargs):
+    from sam2_opt_tpu.predictors.image import SAM2ImagePredictor
+
+    return SAM2ImagePredictor(build_sam2(config_or_variant, ckpt_path), **kwargs)
+
+
+def build_sam2_video_predictor(config_or_variant: str = "hiera_l",
+                               ckpt_path: Optional[str] = None,
+                               vos_optimized: bool = False, **kwargs):
+    """Build the video predictor (reference build_sam2_video_predictor,
+    build_sam.py:100-141: adds binarize_mask_from_pts + fill_hole_area=8)."""
+    from sam2_opt_tpu.predictors.video import SAM2VideoPredictor
+
+    kwargs.setdefault("fill_hole_area", 8)
+    model = build_sam2(config_or_variant, ckpt_path)
+    return SAM2VideoPredictor(model, **kwargs)

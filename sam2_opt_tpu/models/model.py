@@ -1,0 +1,213 @@
+"""SAM2Model: parameter bundle + jit-compiled execution seams.
+
+This is the TPU-native analogue of the reference's SAM2Base *runtime* role
+(sam2/sam2/modeling/sam2_base_official.py:199-276): it owns the params pytree
+and exposes the compiled core functions behind a `speedup()` /
+`set_runtime_backend()` seam. "eager" backend runs op-by-op fp32 (torch-parity
+path); "xla" runs jit-compiled (optionally bf16) graphs — the XLA equivalent of
+the reference's ONNX-Runtime / TensorRT engines.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sam2_opt_tpu.config import SAM2Config, model_config
+from sam2_opt_tpu.core.executor import enable_persistent_cache
+from sam2_opt_tpu.models import mask_decoder as md
+from sam2_opt_tpu.models import prompt_encoder as pe
+from sam2_opt_tpu.models import sam2_base as base
+from sam2_opt_tpu.ops import posenc
+
+
+def _cast_tree(tree, dtype):
+    def leaf(x):
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(leaf, tree)
+
+
+class SAM2Model:
+    """Parameter bundle with compiled seams for the predictors."""
+
+    def __init__(self, params: Dict, cfg: SAM2Config):
+        self.cfg = cfg
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.backend = "eager"
+        self.compute_dtype = jnp.float32
+        self._compute_params = self.params
+        self._jit_fns: Dict = {}
+
+    # ------------------------------------------------------------------ #
+    # backend management (reference seam: set_runtime_backend / speedup)
+    # ------------------------------------------------------------------ #
+
+    def set_runtime_backend(self, backend: str = "eager", args: Optional[dict] = None):
+        """'eager' = fp32 op-by-op (torch-parity); 'xla' = jit-compiled."""
+        backend = backend.lower()
+        if backend in ("torch", "eager"):
+            self.backend = "eager"
+            self.compute_dtype = jnp.float32
+            self._compute_params = self.params
+        elif backend in ("xla", "jit", "tensorrt", "trt", "onnxruntime", "ort"):
+            # TRT/ORT names accepted for call-site compatibility with the
+            # reference API; they all mean "compiled XLA" here.
+            args = args or {}
+            dtype = args.get("dtype", jnp.bfloat16)
+            enable_persistent_cache(args.get("cache_dir"))
+            self.backend = "xla"
+            self.compute_dtype = dtype
+            self._compute_params = (
+                _cast_tree(self.params, dtype) if dtype != jnp.float32 else self.params
+            )
+        else:
+            raise ValueError(f"unsupported backend: {backend}")
+        self._jit_fns.clear()
+
+    def speedup(self, backend: str = "xla", use_cache: bool = True, dtype=jnp.bfloat16,
+                **_ignored):
+        """One-line acceleration, mirroring the reference predictor.speedup()
+        (sam2_image_predictor.py:94-138). Compiles the hot functions to XLA."""
+        self.set_runtime_backend(
+            backend="xla" if backend not in ("torch", "eager") else backend,
+            args={"dtype": dtype},
+        )
+
+    # ------------------------------------------------------------------ #
+    # compiled seams
+    # ------------------------------------------------------------------ #
+
+    def _get_jit(self, key, fn_builder):
+        fn = self._jit_fns.get(key)
+        if fn is None:
+            fn = fn_builder()
+            self._jit_fns[key] = fn
+        return fn
+
+    @property
+    def _p(self):
+        return self._compute_params
+
+    def encode_image(self, images01):
+        """[B, S, S, 3] float images in [0,1] -> (hrf0, hrf1, embed) NHWC with
+        the no-mem embedding NOT added (raw forward_image path)."""
+
+        def build():
+            cfg = self.cfg
+
+            @jax.jit
+            def f(p, img):
+                out = base.forward_image(p, cfg, base.image_normalize(img))
+                f0, f1, f2 = out["backbone_fpn"]
+                return f0, f1, f2
+
+            return f
+
+        fn = self._get_jit("encode_image", build)
+        img = jnp.asarray(images01, self.compute_dtype)
+        return fn(self._p, img)
+
+    def encode_image_e2e(self, images01):
+        """set_image_e2e path (reference sam2_image_predictor.py:252-266):
+        encode + add no_mem_embed to the lowest-res map."""
+
+        def build():
+            cfg = self.cfg
+
+            @jax.jit
+            def f(p, img):
+                out = base.forward_image(p, cfg, base.image_normalize(img))
+                f0, f1, f2 = out["backbone_fpn"]
+                f2 = f2 + p["no_mem_embed"][0, 0].astype(f2.dtype)
+                return f0, f1, f2
+
+            return f
+
+        fn = self._get_jit("encode_image_e2e", build)
+        img = jnp.asarray(images01, self.compute_dtype)
+        return fn(self._p, img)
+
+    def predict_masks(self, embed, hrf0, hrf1, coords, labels, mask_input=None,
+                      multimask_output=True):
+        """Image-predictor decoding path (reference sam2_image_predictor.py:487-589):
+        prompt-encode + mask-decode. Returns (low_res_masks, iou_predictions)."""
+        has_mask = mask_input is not None
+        key = ("predict_masks", multimask_output, has_mask)
+
+        def build():
+            cfg = self.cfg
+
+            @functools.partial(jax.jit, static_argnames=("repeat",))
+            def f(p, embed, hrf0, hrf1, coords, labels, mask_input, repeat):
+                sparse, dense = pe.prompt_encoder(
+                    p["sam_prompt_encoder"], cfg, coords, labels, mask_input
+                )
+                image_pe = pe.get_dense_pe(
+                    p["sam_prompt_encoder"],
+                    (cfg.image_embedding_size, cfg.image_embedding_size),
+                ).astype(embed.dtype)
+                masks, iou, _, _ = md.mask_decoder(
+                    p["sam_mask_decoder"],
+                    cfg,
+                    embed,
+                    image_pe,
+                    sparse.astype(embed.dtype),
+                    dense.astype(embed.dtype),
+                    multimask_output=multimask_output,
+                    high_res_features=(hrf0, hrf1),
+                    repeat_image=repeat,
+                )
+                return masks.astype(jnp.float32), iou.astype(jnp.float32)
+
+            return f
+
+        fn = self._get_jit(key, build)
+        repeat = coords.shape[0] > embed.shape[0]
+        mi = (
+            jnp.asarray(mask_input, self.compute_dtype)
+            if has_mask
+            else jnp.zeros((coords.shape[0], 256, 256, 1), self.compute_dtype)
+        )
+        if not has_mask:
+            mi = None
+        return fn(
+            self._p,
+            embed,
+            hrf0,
+            hrf1,
+            jnp.asarray(coords, jnp.float32),
+            jnp.asarray(labels, jnp.int32),
+            mi,
+            repeat,
+        )
+
+    def dense_pos_enc(self, level_hw: Tuple[int, int]):
+        """Deterministic sine PE for a feature level (constant per shape)."""
+        peh = posenc.sine_pos_embed_2d(level_hw[0], level_hw[1], self.cfg.hidden_dim)
+        return peh.astype(self.compute_dtype)
+
+
+def build_sam2(variant: str = "hiera_l", checkpoint_path: Optional[str] = None,
+               params: Optional[Dict] = None, seed: int = 0) -> SAM2Model:
+    """Build a SAM2Model (reference build_sam.py:71-97 without hydra).
+
+    Loads a torch .pt checkpoint when given; otherwise uses provided params or
+    random initialization.
+    """
+    cfg = model_config(variant)
+    if checkpoint_path is not None:
+        from sam2_opt_tpu.io.torch_convert import load_torch_checkpoint
+
+        params = load_torch_checkpoint(checkpoint_path)
+    if params is None:
+        from sam2_opt_tpu.models.init import init_params
+
+        params = init_params(cfg, jax.random.PRNGKey(seed))
+    return SAM2Model(params, cfg)

@@ -1,0 +1,216 @@
+"""Jittable video tracking core.
+
+TPU-first re-design of the reference per-frame tracking step
+(sam2_base_official.py:797-1179 `_prepare_memory_conditioned_features` +
+`track_step`). The host-side predictor selects which memories participate
+(frame-index arithmetic, dicts — cheap Python); this module is the single
+compiled graph that consumes a fixed-capacity memory layout:
+
+    spatial memory : [S_slots, 4096, mem_dim]  + per-slot tpos index + validity
+    object pointers: [P_cap, C]                + per-ptr tpos value  + validity
+
+All positional embeddings that the reference stores per frame (maskmem_pos_enc,
+current-frame sine PE) are shape-constants here and fold into the graph.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sam2_opt_tpu.config import SAM2Config
+from sam2_opt_tpu.models import sam2_base as base
+from sam2_opt_tpu.ops import common as ops
+from sam2_opt_tpu.ops import posenc
+
+
+class MemoryInput(NamedTuple):
+    """Fixed-capacity memory bank view for one tracking step (batch of 1 obj).
+
+    `feats` and `ptrs` are TUPLES of per-slot arrays (stacked inside the
+    compiled graph): slots are stored as separate buffers in the tracking
+    state, and fusing the gather into the jit avoids a per-frame eager stack.
+    """
+
+    feats: tuple            # S x [1, 64, 64, mem_dim] spatial memory features
+    tpos_idx: jnp.ndarray   # [S] int32 index into maskmem_tpos_enc
+    valid: jnp.ndarray      # [S] bool
+    ptrs: tuple             # P x [1, C] object pointers
+    ptr_pos: jnp.ndarray    # [P] float32 normalized temporal distance
+    ptr_valid: jnp.ndarray  # [P] bool
+
+
+def _memory_tokens(p, cfg: SAM2Config, mem: MemoryInput, dtype):
+    """Assemble padded kv tokens + positions + mask for memory attention.
+
+    Mirrors sam2_base_official.py:870-948: spatial tokens get the (constant)
+    memory-encoder sine PE plus the learned temporal slot embedding; pointer
+    tokens get the 1-D sine temporal PE through obj_ptr_tpos_proj and are split
+    into C/mem_dim tokens each.
+    """
+    S = len(mem.feats)
+    D = mem.feats[0].shape[-1]
+    L = mem.feats[0].shape[1] * mem.feats[0].shape[2]
+    C = cfg.hidden_dim
+    tokens_per_ptr = C // D
+
+    stacked = jnp.stack([f.reshape(L, D) for f in mem.feats], axis=0)
+    spatial = stacked.reshape(1, S * L, D).astype(dtype)
+    mem_pe = posenc.sine_pos_embed_2d(64, 64, D).reshape(1, L, D).astype(dtype)
+    tpos = p["maskmem_tpos_enc"][mem.tpos_idx][:, 0]  # [S, 1, D]
+    spatial_pos = (mem_pe + tpos.astype(dtype)).reshape(1, S * L, D)
+
+    # object pointers -> mem_dim-sized tokens
+    ptrs = jnp.concatenate([jnp.asarray(x, jnp.float32) for x in mem.ptrs], axis=0)
+    ptr_pe = posenc.get_1d_sine_pe(mem.ptr_pos, dim=C)  # [P, C]
+    ptr_pe = ops.linear(p["obj_ptr_tpos_proj"], ptr_pe.astype(dtype))  # [P, D]
+    ptr_tokens = ptrs.astype(dtype).reshape(-1, tokens_per_ptr, D).reshape(1, -1, D)
+    ptr_pos_tokens = jnp.repeat(ptr_pe, tokens_per_ptr, axis=0)[None]  # [1, P*t, D]
+
+    tokens = jnp.concatenate([spatial, ptr_tokens], axis=1)
+    positions = jnp.concatenate([spatial_pos, ptr_pos_tokens], axis=1)
+    kv_mask = jnp.concatenate(
+        [
+            jnp.repeat(mem.valid, L),
+            jnp.repeat(mem.ptr_valid, tokens_per_ptr),
+        ]
+    )[None]
+    return tokens, positions, kv_mask, S * L
+
+
+def condition_on_memory(p, cfg: SAM2Config, curr_feat, mem: MemoryInput):
+    """Memory-conditioned current-frame features [1,64,64,C]
+    (reference :797-976 non-init path)."""
+    B, H, W, C = curr_feat.shape
+    dtype = curr_feat.dtype
+    tokens, positions, kv_mask, num_frame_tokens = _memory_tokens(p, cfg, mem, dtype)
+    curr_pos = posenc.sine_pos_embed_2d(H, W, C).astype(dtype)[None]
+    return base.condition_features(
+        p, cfg, curr_feat, jnp.broadcast_to(curr_pos, curr_feat.shape),
+        tokens, positions, kv_mask, num_frame_tokens,
+    )
+
+
+def _finalize(p, cfg: SAM2Config, raw_embed, sam_outputs, run_mem_encoder: bool,
+              is_mask_from_pts: bool, fill_hole_area: int):
+    # NOTE: the memory encoder consumes the RAW current-frame features, not the
+    # memory-conditioned ones (reference track_step :1167-1177 passes
+    # current_vision_feats to _encode_memory_in_output).
+    (
+        _,
+        _,
+        ious,
+        low_res_masks,
+        high_res_masks,
+        obj_ptr,
+        object_score_logits,
+    ) = sam_outputs
+    # NOTE: hole filling intentionally happens OUTSIDE this graph (predictor
+    # applies it as a separate compiled call, like the reference applies
+    # fill_holes_in_mask_scores after track_step, misc.py:312 /
+    # sam2_video_predictor_official.py:891-894). Keeping the
+    # connected-components scatter out of the big fused graph also avoids a
+    # backend bug observed on remote-attached TPUs.
+    del fill_hole_area
+    out = {
+        "pred_masks": low_res_masks,
+        "obj_ptr": obj_ptr.astype(jnp.float32),
+        "object_score_logits": object_score_logits.astype(jnp.float32),
+        "ious": ious.astype(jnp.float32),
+    }
+    if run_mem_encoder and cfg.num_maskmem > 0:
+        maskmem, _ = base.encode_new_memory(
+            p, cfg, raw_embed, high_res_masks, object_score_logits,
+            is_mask_from_pts=is_mask_from_pts,
+        )
+        out["maskmem_features"] = maskmem.astype(jnp.bfloat16)
+    return out
+
+
+def track_step_init(
+    p,
+    cfg: SAM2Config,
+    feats: Tuple,               # (hrf0, hrf1, embed) NHWC, batch 1
+    point_coords,               # [1, P, 2] or None
+    point_labels,               # [1, P] or None
+    mask_inputs,                # [1, 1, 1024, 1024] binary or None
+    prev_sam_mask_logits=None,  # [1, 1, 256, 256] or None
+    multimask_output: bool = True,
+    run_mem_encoder: bool = False,
+    fill_hole_area: int = 0,
+):
+    """Initial-conditioning-frame step: no-mem embedding fast path
+    (reference :951-957 + track_step)."""
+    hrf0, hrf1, embed = feats
+    pix_feat = base.no_mem_features(p, embed)
+    return _track_with_features(
+        p, cfg, (hrf0, hrf1, pix_feat), embed, point_coords, point_labels,
+        mask_inputs, prev_sam_mask_logits, multimask_output, run_mem_encoder,
+        fill_hole_area, is_mask_from_pts=point_coords is not None,
+    )
+
+
+def track_step_conditioned(
+    p,
+    cfg: SAM2Config,
+    feats: Tuple,
+    mem: MemoryInput,
+    point_coords=None,
+    point_labels=None,
+    prev_sam_mask_logits=None,
+    multimask_output: bool = True,
+    run_mem_encoder: bool = True,
+    fill_hole_area: int = 0,
+):
+    """Tracked-frame step: memory attention + SAM heads + memory encoder
+    (reference track_step :1114-1179, non-init branch)."""
+    hrf0, hrf1, embed = feats
+    pix_feat = condition_on_memory(p, cfg, embed, mem)
+    return _track_with_features(
+        p, cfg, (hrf0, hrf1, pix_feat), embed, point_coords, point_labels, None,
+        prev_sam_mask_logits, multimask_output, run_mem_encoder, fill_hole_area,
+        is_mask_from_pts=point_coords is not None,
+    )
+
+
+def _track_with_features(
+    p, cfg, feats, raw_embed, point_coords, point_labels, mask_inputs,
+    prev_sam_mask_logits, multimask_output, run_mem_encoder, fill_hole_area,
+    is_mask_from_pts,
+):
+    hrf0, hrf1, pix_feat = feats
+    if mask_inputs is not None and cfg.use_mask_input_as_output_without_sam:
+        sam_outputs = base.use_mask_as_output(
+            p, cfg, pix_feat, (hrf0, hrf1), mask_inputs
+        )
+    else:
+        if point_coords is None:
+            B = pix_feat.shape[0]
+            point_coords = jnp.zeros((B, 1, 2), jnp.float32)
+            point_labels = -jnp.ones((B, 1), jnp.int32)
+        mask_prompt = None
+        if prev_sam_mask_logits is not None:
+            mask_prompt = jnp.transpose(prev_sam_mask_logits, (0, 2, 3, 1)).astype(
+                pix_feat.dtype
+            )
+        sam_outputs = base.forward_sam_heads(
+            p, cfg, pix_feat, point_coords, point_labels,
+            mask_inputs=mask_prompt, high_res_features=(hrf0, hrf1),
+            multimask_output=multimask_output,
+        )
+    return _finalize(
+        p, cfg, raw_embed, sam_outputs, run_mem_encoder, is_mask_from_pts,
+        fill_hole_area,
+    )
+
+
+def encode_memory_only(p, cfg: SAM2Config, embed, high_res_masks,
+                       object_score_logits, is_mask_from_pts: bool):
+    """Standalone memory-encoder run (reference _run_memory_encoder :911-945)."""
+    maskmem, _ = base.encode_new_memory(
+        p, cfg, embed, high_res_masks, object_score_logits,
+        is_mask_from_pts=is_mask_from_pts,
+    )
+    return maskmem.astype(jnp.bfloat16)

@@ -1,0 +1,204 @@
+"""Core numeric primitives (channels-last / NHWC throughout).
+
+These are the TPU-idiomatic equivalents of the torch building blocks used by
+the reference model. Parameters follow the converted-torch convention:
+linear weights are stored as [in, out] (transposed from torch), conv kernels as
+HWIO, conv-transpose kernels as HWOI; see sam2_opt_tpu/io/torch_convert.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def linear(p, x):
+    """x @ W + b with W [in, out]."""
+    y = jnp.matmul(x, p["weight"], preferred_element_type=x.dtype)
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def layer_norm(p, x, eps: float = 1e-5):
+    """LayerNorm over the last axis (torch nn.LayerNorm semantics)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["weight"] + p["bias"]
+    return y.astype(x.dtype)
+
+
+def layer_norm_2d(p, x, eps: float = 1e-6):
+    """Reference LayerNorm2d (sam2_utils.py:141): normalizes over the channel
+    axis only. Input here is NHWC, so this is identical to `layer_norm` but with
+    the reference's default eps of 1e-6."""
+    return layer_norm(p, x, eps=eps)
+
+
+def mlp(p, x, num_layers: int, activation=jax.nn.relu, sigmoid_output: bool = False):
+    """Reference MLP (sam2_utils.py:112): Linear stack with activation between."""
+    for i in range(num_layers):
+        x = linear(p["layers"][i], x)
+        if i < num_layers - 1:
+            x = activation(x)
+    if sigmoid_output:
+        x = jax.nn.sigmoid(x)
+    return x
+
+
+def gelu(x):
+    """torch nn.GELU default = exact erf formulation."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def conv2d(
+    p,
+    x,
+    stride: Tuple[int, int] = (1, 1),
+    padding="SAME",
+    feature_group_count: int = 1,
+):
+    """NHWC conv with HWIO kernel. `padding` is either a lax padding string or
+    explicit [(lo,hi),(lo,hi)]."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["weight"].astype(x.dtype),
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=feature_group_count,
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def conv_transpose2d(p, x, stride: Tuple[int, int] = (2, 2)):
+    """NHWC transposed conv with HWOI kernel, matching torch ConvTranspose2d
+    with kernel_size == stride and no padding (the only form used by the
+    reference mask decoder, mask_decoder.py:66-76)."""
+    y = jax.lax.conv_transpose(
+        x,
+        p["weight"].astype(x.dtype),  # [kh, kw, out, in] (converted from torch IOHW)
+        strides=stride,
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        transpose_kernel=True,
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def max_pool2d(x, window: Tuple[int, int], stride: Tuple[int, int]):
+    """NHWC max pool, ceil_mode=False (torch default)."""
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, *window, 1),
+        window_strides=(1, *stride, 1),
+        padding="VALID",
+    )
+
+
+def window_partition(x, window_size: int):
+    """[B,H,W,C] -> [B*nW, ws, ws, C] with zero padding on the bottom/right
+    (reference backbones/utils.py:16-36). Returns (windows, (Hp, Wp))."""
+    B, H, W, C = x.shape
+    pad_h = (window_size - H % window_size) % window_size
+    pad_w = (window_size - W % window_size) % window_size
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    Hp, Wp = H + pad_h, W + pad_w
+    x = x.reshape(B, Hp // window_size, window_size, Wp // window_size, window_size, C)
+    windows = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window_size, window_size, C)
+    return windows, (Hp, Wp)
+
+
+def window_unpartition(windows, window_size: int, pad_hw, hw):
+    """Inverse of window_partition (reference backbones/utils.py:39-60)."""
+    Hp, Wp = pad_hw
+    H, W = hw
+    C = windows.shape[-1]
+    B = windows.shape[0] // (Hp * Wp // window_size // window_size)
+    x = windows.reshape(
+        B, Hp // window_size, Wp // window_size, window_size, window_size, C
+    )
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
+    return x[:, :H, :W, :]
+
+
+def interpolate(x, size: Tuple[int, int], method: str = "bilinear", antialias: bool = False):
+    """NHWC spatial resize matching torch F.interpolate(align_corners=False).
+
+    jax.image.resize uses half-pixel sampling which matches torch's
+    align_corners=False; 'nearest' matches torch's legacy nearest (floor)
+    indexing via explicit index computation.
+    """
+    B, H, W, C = x.shape
+    h, w = size
+    if method == "nearest":
+        # torch 'nearest': src_idx = floor(dst_idx * scale)
+        rows = jnp.floor(jnp.arange(h) * (H / h)).astype(jnp.int32)
+        cols = jnp.floor(jnp.arange(w) * (W / w)).astype(jnp.int32)
+        return x[:, rows][:, :, cols]
+    jax_method = {"bilinear": "linear", "bicubic": "cubic"}[method]
+    return jax.image.resize(x, (B, h, w, C), method=jax_method, antialias=antialias)
+
+
+def upsample2x_nearest(x):
+    """Exact 2x nearest upsample (used by the FPN top-down path)."""
+    B, H, W, C = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+    return x.reshape(B, 2 * H, 2 * W, C)
+
+
+def scaled_dot_product_attention(q, k, v, mask=None):
+    """torch SDPA semantics on [..., heads, seq, head_dim] tensors.
+
+    `mask` (optional) is a boolean array broadcastable to [..., q_len, kv_len];
+    True = attend. Softmax is computed in fp32 for stability on bf16 inputs.
+    """
+    head_dim = q.shape[-1]
+    scale = 1.0 / math.sqrt(head_dim)
+    logits = jnp.einsum("...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1)
+    # With fully-masked rows softmax yields NaN; guard (matches masked padding rows
+    # never being read downstream, but keeps NaNs from propagating through matmul).
+    if mask is not None:
+        probs = jnp.where(jnp.isnan(probs), 0.0, probs)
+    return jnp.einsum("...qk,...kd->...qd", probs.astype(v.dtype), v)
+
+
+def separate_heads(x, num_heads: int):
+    """[B, N, C] -> [B, heads, N, C/heads]"""
+    B, N, C = x.shape
+    return x.reshape(B, N, num_heads, C // num_heads).transpose(0, 2, 1, 3)
+
+
+def recombine_heads(x):
+    """[B, heads, N, Ch] -> [B, N, C]"""
+    B, H, N, Ch = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, N, H * Ch)
+
+
+def attention(p, q, k, v, num_heads: int, mask=None):
+    """Reference `Attention` module (sam/transformer.py:222): q/k/v projections,
+    SDPA, output projection. Inputs [B, N, C]."""
+    q = linear(p["q_proj"], q)
+    k = linear(p["k_proj"], k)
+    v = linear(p["v_proj"], v)
+    q = separate_heads(q, num_heads)
+    k = separate_heads(k, num_heads)
+    v = separate_heads(v, num_heads)
+    out = scaled_dot_product_attention(q, k, v, mask=mask)
+    return linear(p["out_proj"], recombine_heads(out))

@@ -1,0 +1,20 @@
+import os
+import sys
+
+# Tests run on CPU with a virtual 8-device mesh so sharding tests work without
+# TPU hardware (SURVEY.md §4: the fake-backend multi-chip story).
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the env sets JAX_PLATFORMS=axon
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# Parity tests compare fp32 numerics against torch CPU; the default lowered
+# matmul precision would drown the comparison in bf16 rounding.
+jax.config.update("jax_default_matmul_precision", "highest")
+

@@ -1,0 +1,42 @@
+"""Structural check: random init must produce exactly the converted-torch tree
+(build order step 1 gate, SURVEY.md §7: "tree shapes match torch state_dict")."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from sam2_opt_tpu.config import model_config
+from sam2_opt_tpu.io.torch_convert import convert_state_dict
+from sam2_opt_tpu.models.init import init_params
+
+from reference_helper import reference_available
+
+
+def flat_shapes(tree):
+    leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {
+        jax.tree_util.keystr(path): tuple(np.shape(leaf)) for path, leaf in leaves
+    }
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference unavailable")
+def test_init_matches_torch_tree():
+    from reference_helper import build_torch_sam2, state_dict_numpy
+
+    torch_tree = convert_state_dict(state_dict_numpy(build_torch_sam2("hiera_t")))
+    jax_tree = init_params(model_config("hiera_t"), jax.random.PRNGKey(0))
+    ts, js = flat_shapes(torch_tree), flat_shapes(jax_tree)
+    missing = sorted(set(ts) - set(js))
+    extra = sorted(set(js) - set(ts))
+    assert not missing, f"missing params: {missing[:10]}"
+    assert not extra, f"extra params: {extra[:10]}"
+    bad = {k: (ts[k], js[k]) for k in ts if ts[k] != js[k]}
+    assert not bad, f"shape mismatches: {dict(list(bad.items())[:10])}"
+
+
+def test_init_large_builds():
+    cfg = model_config("hiera_l")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    n = sum(int(np.prod(np.shape(l))) for l in jax.tree_util.tree_leaves(params))
+    assert n > 2e8, f"hiera-L should have >200M params, got {n/1e6:.1f}M"

@@ -37,10 +37,13 @@ def multiscale_attention(p, x, num_heads: int, q_stride=None):
         H, W = q.shape[1], q.shape[2]
         q = q.reshape(B, H * W, num_heads, -1)
 
-    out = ops.scaled_dot_product_attention(
+    # Pallas flash kernel for the global-attention blocks (4096^2 softmax kept
+    # in VMEM); windowed attention stays on fused XLA SDPA, which measured
+    # faster than a per-window kernel (see kernels/window_attention.py).
+    out = ops.flash_or_sdpa(
         q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
-    )
-    out = out.transpose(0, 2, 1, 3).reshape(B, H, W, -1)
+    ).transpose(0, 2, 1, 3)
+    out = out.reshape(B, H, W, -1)
     return ops.linear(p["proj"], out)
 
 

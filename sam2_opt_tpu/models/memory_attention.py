@@ -49,7 +49,7 @@ def rope_self_attention(p, cfg: MemoryAttentionConfig, q_in, k_in, v_in):
     sin = sin.astype(q.dtype)
     q = posenc.apply_rotary(q, cos, sin)
     k = posenc.apply_rotary(k, cos, sin)
-    out = ops.scaled_dot_product_attention(q, k, v)
+    out = ops.flash_or_sdpa(q, k, v)
     return ops.linear(p["out_proj"], ops.recombine_heads(out))
 
 
@@ -86,10 +86,7 @@ def rope_cross_attention(
     k_frames = posenc.apply_rotary(k_frames, cos_k, sin_k)
     k = jnp.concatenate([k_frames, k_ptrs], axis=2)
 
-    mask = None
-    if kv_mask is not None:
-        mask = kv_mask[:, None, None, :]
-    out = ops.scaled_dot_product_attention(q, k, v, mask=mask)
+    out = ops.flash_or_sdpa(q, k, v, kv_mask=kv_mask)
     return ops.linear(p["out_proj"], ops.recombine_heads(out))
 
 

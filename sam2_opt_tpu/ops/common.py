@@ -24,13 +24,26 @@ def linear(p, x):
 
 
 def layer_norm(p, x, eps: float = 1e-5):
-    """LayerNorm over the last axis (torch nn.LayerNorm semantics)."""
+    """LayerNorm over the last axis (torch nn.LayerNorm semantics).
+
+    fp32 inputs use the exact two-pass form (parity path). Low-precision
+    inputs keep the elementwise math in the input dtype with fp32 reduction
+    accumulators only — avoids materializing fp32 copies of activations in
+    HBM (the encode path is bandwidth-bound).
+    """
+    if x.dtype == jnp.float32:
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + eps)
+        return y * p["weight"] + p["bias"]
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    y = y * p["weight"] + p["bias"]
-    return y.astype(x.dtype)
+    m2 = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+    scale = (jax.lax.rsqrt(var + eps) * p["weight"].astype(jnp.float32)).astype(x.dtype)
+    shift = (p["bias"].astype(jnp.float32) - mean * jax.lax.rsqrt(var + eps)
+             * p["weight"].astype(jnp.float32)).astype(x.dtype)
+    return x * scale + shift
 
 
 def layer_norm_2d(p, x, eps: float = 1e-6):
@@ -52,8 +65,13 @@ def mlp(p, x, num_layers: int, activation=jax.nn.relu, sigmoid_output: bool = Fa
 
 
 def gelu(x):
-    """torch nn.GELU default = exact erf formulation."""
-    return jax.nn.gelu(x, approximate=False)
+    """torch nn.GELU default = exact erf formulation (fp32 parity path).
+    Under bf16 compute the tanh approximation is used — its ~1e-3 relative
+    deviation is below bf16 rounding noise and the erf transcendental is
+    measurably slower on the VPU."""
+    if x.dtype == jnp.float32:
+        return jax.nn.gelu(x, approximate=False)
+    return jax.nn.gelu(x, approximate=True)
 
 
 def conv2d(
@@ -157,6 +175,32 @@ def upsample2x_nearest(x):
     B, H, W, C = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
     return x.reshape(B, 2 * H, 2 * W, C)
+
+
+def use_flash_attention() -> bool:
+    """Whether to route large attentions through the Pallas flash kernel.
+
+    SAM2_TPU_FLASH=1/0 forces; default: only on TPU backends (the CPU parity
+    path keeps exact unfused SDPA)."""
+    import os
+
+    v = os.environ.get("SAM2_TPU_FLASH", "auto")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def flash_or_sdpa(q, k, v, kv_mask=None, min_seq: int = 1024):
+    """Dispatch to the Pallas flash kernel for large sequences on TPU, else
+    unfused SDPA. kv_mask: [B, Skv] bool or None."""
+    if use_flash_attention() and q.shape[-2] * k.shape[-2] >= min_seq * min_seq:
+        from sam2_opt_tpu.kernels.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, kv_mask=kv_mask)
+    mask = None if kv_mask is None else kv_mask[:, None, None, :]
+    return scaled_dot_product_attention(q, k, v, mask=mask)
 
 
 def scaled_dot_product_attention(q, k, v, mask=None):

@@ -1,0 +1,206 @@
+"""VOS batch-inference CLI (DAVIS / MOSE / SA-V layouts).
+
+Re-design of sam2/tools/vos_inference.py:1-507: per-video `init_state` ->
+seed GT masks (first annotated frame, or every annotated frame with
+--use_all_masks) -> `propagate_in_video` -> per-frame palette PNG outputs,
+with joint multi-object tracking or per-object separate tracking
+(--per_obj_png_file for the SA-V layout).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from collections import defaultdict
+from typing import Dict, List
+
+import numpy as np
+
+# 255-entry DAVIS palette (first entries; rest generated procedurally)
+_DAVIS_PALETTE_HEAD = [
+    0, 0, 0, 128, 0, 0, 0, 128, 0, 128, 128, 0, 0, 0, 128, 128, 0, 128,
+    0, 128, 128, 128, 128, 128, 64, 0, 0, 191, 0, 0, 64, 128, 0, 191, 128, 0,
+]
+
+
+def davis_palette() -> List[int]:
+    pal = list(_DAVIS_PALETTE_HEAD)
+    rng = np.random.default_rng(0)
+    while len(pal) < 768:
+        pal.extend(int(x) for x in rng.integers(0, 256, 3))
+    return pal[:768]
+
+
+def load_ann_png(path: str):
+    """Load a palette PNG annotation -> (mask array, palette)."""
+    from PIL import Image
+
+    img = Image.open(path)
+    palette = img.getpalette()
+    mask = np.array(img).astype(np.uint8)
+    return mask, palette
+
+
+def save_ann_png(path: str, mask: np.ndarray, palette=None):
+    from PIL import Image
+
+    assert mask.dtype == np.uint8 and mask.ndim == 2
+    img = Image.fromarray(mask)
+    img.putpalette(palette or davis_palette())
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    img.save(path)
+
+
+def get_per_obj_mask(mask: np.ndarray) -> Dict[int, np.ndarray]:
+    """Split a multi-object id mask into per-object binary masks
+    (reference vos_inference.py)."""
+    object_ids = np.unique(mask)
+    object_ids = object_ids[object_ids > 0].tolist()
+    return {oid: (mask == oid) for oid in object_ids}
+
+
+def put_per_obj_mask(per_obj_mask: Dict[int, np.ndarray], height, width):
+    """Combine per-object binary masks into one id mask (higher id on top)."""
+    mask = np.zeros((height, width), np.uint8)
+    for oid in sorted(per_obj_mask)[::-1]:
+        obj_mask = per_obj_mask[oid].reshape(height, width)
+        mask[obj_mask & (mask == 0)] = oid
+    return mask
+
+
+def _input_frames(video_dir: str) -> List[str]:
+    names = [
+        os.path.splitext(p)[0]
+        for p in os.listdir(video_dir)
+        if os.path.splitext(p)[-1].lower() in (".jpg", ".jpeg", ".png")
+    ]
+    try:
+        names.sort(key=int)
+    except ValueError:
+        names.sort()
+    return names
+
+
+def vos_inference(
+    predictor,
+    base_video_dir: str,
+    input_mask_dir: str,
+    output_mask_dir: str,
+    video_name: str,
+    score_thresh: float = 0.0,
+    use_all_masks: bool = False,
+    per_obj_png_file: bool = False,
+):
+    """Run inference on one video (reference vos_inference:118-246)."""
+    video_dir = os.path.join(base_video_dir, video_name)
+    frame_names = _input_frames(video_dir)
+    inference_state = predictor.init_state(video_path=video_dir)
+    height = inference_state["video_height"]
+    width = inference_state["video_width"]
+
+    # collect input masks
+    input_palette = None
+    inputs_per_frame: Dict[int, Dict[int, np.ndarray]] = {}
+    mask_video_dir = os.path.join(input_mask_dir, video_name)
+    if per_obj_png_file:
+        for obj_dir in sorted(os.listdir(mask_video_dir)):
+            obj_id = int(obj_dir)
+            obj_path = os.path.join(mask_video_dir, obj_dir)
+            for fn in sorted(os.listdir(obj_path)):
+                t = frame_names.index(os.path.splitext(fn)[0])
+                mask, input_palette = load_ann_png(os.path.join(obj_path, fn))
+                inputs_per_frame.setdefault(t, {})[obj_id] = mask > 0
+    else:
+        for fn in sorted(os.listdir(mask_video_dir)):
+            t = frame_names.index(os.path.splitext(fn)[0])
+            mask, input_palette = load_ann_png(os.path.join(mask_video_dir, fn))
+            inputs_per_frame[t] = get_per_obj_mask(mask)
+
+    if not use_all_masks:
+        first_t = min(inputs_per_frame)
+        inputs_per_frame = {first_t: inputs_per_frame[first_t]}
+
+    for t, per_obj in sorted(inputs_per_frame.items()):
+        for obj_id, obj_mask in per_obj.items():
+            predictor.add_new_mask(inference_state, t, obj_id, obj_mask)
+
+    outputs_per_frame: Dict[int, Dict[int, np.ndarray]] = defaultdict(dict)
+    for frame_idx, obj_ids, masks in predictor.propagate_in_video(inference_state):
+        masks_np = np.asarray(masks)  # [N, 1, H, W] logits
+        for i, obj_id in enumerate(obj_ids):
+            outputs_per_frame[frame_idx][obj_id] = masks_np[i, 0] > score_thresh
+
+    # write outputs
+    for frame_idx, per_obj in outputs_per_frame.items():
+        name = frame_names[frame_idx]
+        if per_obj_png_file:
+            for obj_id, m in per_obj.items():
+                out = (m.astype(np.uint8))
+                save_ann_png(
+                    os.path.join(output_mask_dir, video_name, f"{obj_id:03d}",
+                                 f"{name}.png"),
+                    out, input_palette,
+                )
+        else:
+            combined = put_per_obj_mask(per_obj, height, width)
+            save_ann_png(
+                os.path.join(output_mask_dir, video_name, f"{name}.png"),
+                combined, input_palette,
+            )
+    predictor.reset_state(inference_state)
+    return outputs_per_frame
+
+
+def vos_separate_inference_per_object(predictor, *args, **kwargs):
+    """Per-object separate tracking (reference :249-360). The per-object
+    tracks in our predictor are already independent (post-12/2024 API), so
+    joint inference gives identical results; provided for CLI parity."""
+    return vos_inference(predictor, *args, **kwargs)
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="SAM2-TPU VOS batch inference (reference tools/vos_inference.py)"
+    )
+    parser.add_argument("--sam2_cfg", default="hiera_l")
+    parser.add_argument("--sam2_checkpoint", default=None)
+    parser.add_argument("--base_video_dir", required=True)
+    parser.add_argument("--input_mask_dir", required=True)
+    parser.add_argument("--output_mask_dir", required=True)
+    parser.add_argument("--video_list_file", default=None)
+    parser.add_argument("--score_thresh", type=float, default=0.0)
+    parser.add_argument("--use_all_masks", action="store_true")
+    parser.add_argument("--per_obj_png_file", action="store_true")
+    parser.add_argument("--backend", default="xla",
+                        help="'xla' (compiled, default) or 'eager'")
+    args = parser.parse_args()
+
+    from sam2_opt_tpu.build_sam import build_sam2_video_predictor
+
+    predictor = build_sam2_video_predictor(args.sam2_cfg, args.sam2_checkpoint)
+    if args.backend != "eager":
+        predictor.speedup()
+
+    if args.video_list_file:
+        with open(args.video_list_file) as f:
+            videos = [line.strip() for line in f if line.strip()]
+    else:
+        videos = sorted(os.listdir(args.base_video_dir))
+    print(f"running VOS prediction on {len(videos)} videos")
+    for i, video_name in enumerate(videos):
+        print(f"[{i+1}/{len(videos)}] {video_name}")
+        vos_inference(
+            predictor,
+            args.base_video_dir,
+            args.input_mask_dir,
+            args.output_mask_dir,
+            video_name,
+            score_thresh=args.score_thresh,
+            use_all_masks=args.use_all_masks,
+            per_obj_png_file=args.per_obj_png_file,
+        )
+    print(f"completed; outputs in {args.output_mask_dir}")
+
+
+if __name__ == "__main__":
+    main()

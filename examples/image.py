@@ -39,4 +39,5 @@ def main(
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:])
+    argv = [None if a in ("", "none", "None") else a for a in sys.argv[1:]]
+    main(*argv)

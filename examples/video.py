@@ -16,10 +16,20 @@ def main(
     checkpoint=None,
     variant="hiera_l",
     output_path="outputs/video_demo.mp4",
+    max_frames=None,
 ):
     predictor = build_sam2_video_predictor(variant, checkpoint)
     predictor.speedup()
 
+    if max_frames is not None:
+        import os as _os
+        from PIL import Image as _Image
+        names = sorted(_os.listdir(video_path), key=lambda p: int(_os.path.splitext(p)[0]))
+        names = names[: int(max_frames)]
+        video_path = np.stack([
+            np.array(_Image.open(_os.path.join(video_path, n)).convert("RGB"))
+            for n in names
+        ])
     state = predictor.init_state(video_path)
     predictor.add_new_points_or_box(
         state,
@@ -48,4 +58,5 @@ def main(
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:])
+    argv = [None if a in ("", "none", "None") else a for a in sys.argv[1:]]
+    main(*argv)

@@ -52,13 +52,14 @@ def _memory_tokens(p, cfg: SAM2Config, mem: MemoryInput, dtype):
     """
     S = len(mem.feats)
     D = mem.feats[0].shape[-1]
-    L = mem.feats[0].shape[1] * mem.feats[0].shape[2]
+    gh, gw = mem.feats[0].shape[1], mem.feats[0].shape[2]
+    L = gh * gw
     C = cfg.hidden_dim
     tokens_per_ptr = C // D
 
     stacked = jnp.stack([f.reshape(L, D) for f in mem.feats], axis=0)
     spatial = stacked.reshape(1, S * L, D).astype(dtype)
-    mem_pe = posenc.sine_pos_embed_2d(64, 64, D).reshape(1, L, D).astype(dtype)
+    mem_pe = posenc.sine_pos_embed_2d(gh, gw, D).reshape(1, L, D).astype(dtype)
     tpos = p["maskmem_tpos_enc"][mem.tpos_idx][:, 0]  # [S, 1, D]
     spatial_pos = (mem_pe + tpos.astype(dtype)).reshape(1, S * L, D)
 

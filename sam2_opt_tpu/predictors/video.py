@@ -649,9 +649,10 @@ class SAM2VideoPredictor:
         )
 
     def _zero_mem_slot(self, D):
+        g = self.cfg.image_embedding_size
         slot = getattr(self, "_zero_mem", None)
-        if slot is None or slot.shape[-1] != D:
-            slot = jnp.zeros((1, 64, 64, D), jnp.bfloat16)
+        if slot is None or slot.shape[-1] != D or slot.shape[1] != g:
+            slot = jnp.zeros((1, g, g, D), jnp.bfloat16)
             self._zero_mem = slot
         return slot
 

@@ -119,5 +119,7 @@ class CheckpointManager:
             step = self.latest_step()
         if step is None:
             return None
+        from sam2_opt_tpu.io.checkpoints import intify_keys
+
         restored = self._ckpt.restore(self._path(step), item=target)
-        return restored
+        return intify_keys(restored)

@@ -163,7 +163,17 @@ class Trainer:
 
     def load_checkpoint(self) -> bool:
         """Resume auto-discovery; returns True when resumed."""
-        restored = self.ckpt.restore()
+        template = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "steps": np.asarray(self.steps),
+            "epoch": np.asarray(self.epoch),
+            "best_val_loss": np.asarray(self.best_val_loss),
+        }
+        try:
+            restored = self.ckpt.restore(target=template)
+        except Exception:
+            restored = self.ckpt.restore()
         if restored is None:
             return False
         self.params = jax.tree_util.tree_map(jnp.asarray, restored["params"])

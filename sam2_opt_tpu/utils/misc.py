@@ -1,0 +1,128 @@
+"""Misc predictor utilities (re-design of sam2/sam2/utils/misc.py).
+
+The video-loading entry points live in sam2_opt_tpu.io.video; this module
+carries the mask/point helpers and the async frame loader.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def mask_to_box(masks):
+    """[B, 1, H, W] mask -> [B, 1, 4] xyxy box (reference misc.py:66-92)."""
+    import jax.numpy as jnp
+
+    B, _, h, w = masks.shape
+    m = masks[:, 0]
+    xs = jnp.arange(w, dtype=jnp.int32)
+    ys = jnp.arange(h, dtype=jnp.int32)
+    any_y = jnp.any(m, axis=2)  # [B, h]
+    any_x = jnp.any(m, axis=1)  # [B, w]
+    x_min = jnp.min(jnp.where(any_x, xs[None], w), axis=1)
+    x_max = jnp.max(jnp.where(any_x, xs[None], -1), axis=1)
+    y_min = jnp.min(jnp.where(any_y, ys[None], h), axis=1)
+    y_max = jnp.max(jnp.where(any_y, ys[None], -1), axis=1)
+    return jnp.stack([x_min, y_min, x_max, y_max], axis=-1)[:, None, :]
+
+
+def concat_points(old_point_inputs: Optional[Dict], new_points, new_labels) -> Dict:
+    """Append new points to previous ones (reference misc.py:341-349)."""
+    if old_point_inputs is None:
+        points, labels = new_points, new_labels
+    else:
+        points = np.concatenate(
+            [old_point_inputs["point_coords"], new_points], axis=1
+        )
+        labels = np.concatenate(
+            [old_point_inputs["point_labels"], new_labels], axis=1
+        )
+    return {"point_coords": points, "point_labels": labels}
+
+
+def get_connected_components(mask):
+    """8-connectivity labels+areas (the CUDA `_C.get_connected_componnets`
+    surface, csrc/connected_components.cu:213) backed by the pure-XLA kernel."""
+    import jax.numpy as jnp
+
+    from sam2_opt_tpu.ops.connected_components import connected_components
+
+    m = jnp.asarray(mask)
+    squeeze = False
+    if m.ndim == 4:  # [N,1,H,W]
+        m = m[:, 0]
+        squeeze = True
+    labels, areas = connected_components(m.astype(bool))
+    if squeeze:
+        labels, areas = labels[:, None], areas[:, None]
+    return labels, areas
+
+
+def fill_holes_in_mask_scores(mask, max_area: int):
+    """reference misc.py:312-337 (graceful wrapper over the XLA kernel)."""
+    from sam2_opt_tpu.ops.connected_components import (
+        fill_holes_in_mask_scores as _fill,
+    )
+
+    try:
+        return _fill(mask, max_area)
+    except Exception as e:  # pragma: no cover — parity with the CUDA fallback
+        import warnings
+
+        warnings.warn(
+            f"{e}\n\nSkipping hole filling due to the error above.",
+            category=UserWarning,
+            stacklevel=2,
+        )
+        return mask
+
+
+class AsyncVideoFrameLoader:
+    """Background-thread frame loader (reference misc.py:104-149): decodes
+    frames ahead of the tracking loop and re-raises worker exceptions on the
+    consumer thread."""
+
+    def __init__(self, paths, image_size: int, lookahead: int = 32):
+        from sam2_opt_tpu.io.video import _resize_uint8
+
+        self.paths = list(paths)
+        self.image_size = image_size
+        self.frames: Dict[int, np.ndarray] = {}
+        self.exception: Optional[BaseException] = None
+        self._cv = threading.Condition()
+        self._resize = _resize_uint8
+
+        self.thread = threading.Thread(target=self._worker, daemon=True)
+        self.thread.start()
+
+    def _decode(self, idx: int) -> np.ndarray:
+        from PIL import Image
+
+        img = np.asarray(Image.open(self.paths[idx]).convert("RGB"))
+        return self._resize(img, self.image_size)
+
+    def _worker(self):
+        try:
+            for i in range(len(self.paths)):
+                frame = self._decode(i)
+                with self._cv:
+                    self.frames[i] = frame
+                    self._cv.notify_all()
+        except BaseException as e:  # trampoline to the consumer (misc.py:125-149)
+            with self._cv:
+                self.exception = e
+                self._cv.notify_all()
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        with self._cv:
+            while idx not in self.frames and self.exception is None:
+                self._cv.wait(timeout=60)
+            if self.exception is not None:
+                raise self.exception
+            return self.frames[idx]

@@ -13,8 +13,23 @@ if "host_platform_device_count" not in flags:
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 # Parity tests compare fp32 numerics against torch CPU; the default lowered
 # matmul precision would drown the comparison in bf16 rounding.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+@pytest.fixture(scope="session")
+def tiny128_cfg():
+    from sam2_opt_tpu.config import model_config
+
+    return model_config("hiera_t", image_size=128)
+
+
+@pytest.fixture(scope="session")
+def tiny128_params(tiny128_cfg):
+    from sam2_opt_tpu.models.init import init_params
+
+    return init_params(tiny128_cfg, jax.random.PRNGKey(0))
 

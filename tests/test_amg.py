@@ -66,17 +66,13 @@ def test_amg_utils_parity_with_torch():
     assert cb_o == cb_t and li_o == li_t
 
 
-def test_amg_smoke_small():
+def test_amg_smoke_small(tiny128_cfg, tiny128_params):
     """End-to-end AMG on a small random-weight model (pipeline exercise)."""
-    import jax
-
-    from sam2_opt_tpu.config import model_config
-    from sam2_opt_tpu.models.init import init_params
     from sam2_opt_tpu.models.model import SAM2Model
     from sam2_opt_tpu.predictors.amg import SAM2AutomaticMaskGenerator
 
-    cfg = model_config("hiera_t", image_size=128)
-    model = SAM2Model(init_params(cfg, jax.random.PRNGKey(0)), cfg)
+    cfg = tiny128_cfg
+    model = SAM2Model(tiny128_params, cfg)
     amg = SAM2AutomaticMaskGenerator(
         model, points_per_side=2, points_per_batch=4,
         pred_iou_thresh=0.0, stability_score_thresh=0.0,

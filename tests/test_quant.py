@@ -57,9 +57,9 @@ def test_quantized_linear_int8_activations():
     assert rel < 0.05
 
 
-def test_quantize_params_tree_and_forward():
-    cfg = model_config("hiera_t", image_size=128)
-    params = init_params(cfg, jax.random.PRNGKey(0))
+def test_quantize_params_tree_and_forward(tiny128_cfg, tiny128_params):
+    cfg = tiny128_cfg
+    params = tiny128_params
     qparams = quantize_params(params)
     # trunk qkv quantized; decoder untouched
     blk = qparams["image_encoder"]["trunk"]["blocks"][0]["attn"]["qkv"]

@@ -42,9 +42,9 @@ def test_hiera_layer_ids():
     assert hiera_layer_id("unknown.thing", 48) == 49
 
 
-def test_llrd_scales():
-    cfg = model_config("hiera_t", image_size=128)
-    params = init_params(cfg, jax.random.PRNGKey(0))
+def test_llrd_scales(tiny128_cfg, tiny128_params):
+    cfg = tiny128_cfg
+    params = tiny128_params
     scales = layer_decay_lr_scales(params, 0.8, cfg.trunk.depth)
     # earliest trunk layer decayed the most; non-trunk params unscaled
     assert scales["image_encoder.trunk.patch_embed.proj.weight"] == pytest.approx(
@@ -97,15 +97,15 @@ def test_vos_dataset_and_loader(tmp_path):
     assert batches[0]["images"].shape == (2, 2, 64, 64, 3)
 
 
-def test_train_step_end_to_end(tmp_path):
+def test_train_step_end_to_end(tmp_path, tiny128_cfg, tiny128_params):
     """Tiny full train step: rollout, grads, update, checkpoint, resume."""
     from sam2_opt_tpu.training.trainer import TrainConfig, Trainer
     from sam2_opt_tpu.training.data import EvalSampler
 
     img_root, gt_root = _make_davis_dataset(tmp_path, num_videos=1,
                                             num_frames=2, size=128)
-    cfg = model_config("hiera_t", image_size=128)
-    params = init_params(cfg, jax.random.PRNGKey(0))
+    cfg = tiny128_cfg
+    params = tiny128_params
     tcfg = TrainConfig(
         num_epochs=1, batch_size=1, num_frames=2, max_num_objects=1,
         checkpoint_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"),

@@ -1,0 +1,100 @@
+"""misc utils, predictor variants, and checkpoint IO tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sam2_opt_tpu.utils.misc import (
+    AsyncVideoFrameLoader,
+    concat_points,
+    get_connected_components,
+    mask_to_box,
+)
+
+
+def test_mask_to_box():
+    m = np.zeros((2, 1, 16, 20), bool)
+    m[0, 0, 3:9, 5:15] = True
+    boxes = np.asarray(mask_to_box(jnp.asarray(m)))
+    assert boxes[0, 0].tolist() == [5, 3, 14, 8]
+
+
+def test_concat_points():
+    p1 = {"point_coords": np.zeros((1, 2, 2)), "point_labels": np.ones((1, 2))}
+    out = concat_points(p1, np.ones((1, 1, 2)), np.zeros((1, 1)))
+    assert out["point_coords"].shape == (1, 3, 2)
+    out2 = concat_points(None, np.ones((1, 1, 2)), np.zeros((1, 1)))
+    assert out2["point_coords"].shape == (1, 1, 2)
+
+
+def test_connected_components_wrapper():
+    m = np.zeros((1, 1, 32, 32), bool)
+    m[0, 0, 2:6, 2:6] = True
+    m[0, 0, 20:30, 20:30] = True
+    labels, areas = get_connected_components(m)
+    labels = np.asarray(labels)[0, 0]
+    areas = np.asarray(areas)[0, 0]
+    assert len(np.unique(labels[labels > 0])) == 2
+    assert set(np.unique(areas[areas > 0]).tolist()) == {16, 100}
+
+
+def test_async_frame_loader(tmp_path):
+    from PIL import Image
+
+    paths = []
+    for t in range(4):
+        p = str(tmp_path / f"{t}.jpg")
+        Image.fromarray(
+            (np.random.default_rng(t).random((40, 50, 3)) * 255).astype(np.uint8)
+        ).save(p)
+        paths.append(p)
+    loader = AsyncVideoFrameLoader(paths, image_size=32)
+    assert len(loader) == 4
+    assert loader[3].shape == (32, 32, 3)
+    assert loader[0].shape == (32, 32, 3)
+
+
+def test_async_frame_loader_error_trampoline(tmp_path):
+    loader = AsyncVideoFrameLoader([str(tmp_path / "missing.jpg")], image_size=32)
+    with pytest.raises(Exception):
+        loader[0]
+
+
+def test_variant_selection(monkeypatch):
+    from sam2_opt_tpu.predictors.variants import (
+        SAM2VideoPredictorDAM4SAM,
+        SAM2VideoPredictorLegacy,
+        select_video_predictor_cls,
+    )
+    from sam2_opt_tpu.predictors.video import SAM2VideoPredictor
+
+    monkeypatch.delenv("SAM2_VERSION_TRACK", raising=False)
+    assert select_video_predictor_cls() is SAM2VideoPredictor
+    monkeypatch.setenv("SAM2_VERSION_TRACK", "dam4sam")
+    assert select_video_predictor_cls() is SAM2VideoPredictorDAM4SAM
+    with pytest.raises(NotImplementedError):
+        select_video_predictor_cls()(None)
+    monkeypatch.setenv("SAM2_VERSION_TRACK", "legacy")
+    with pytest.raises(NotImplementedError):
+        select_video_predictor_cls()(None)
+
+
+def test_params_native_roundtrip(tmp_path, tiny128_params):
+    from sam2_opt_tpu.io.checkpoints import load_params, save_params
+
+    params = tiny128_params
+    path = str(tmp_path / "params")
+    save_params(path, params)
+    restored = load_params(path)
+    a = np.asarray(params["no_obj_ptr"])
+    b = np.asarray(restored["no_obj_ptr"])
+    assert np.array_equal(a, b)
+    # int-keyed levels preserved
+    assert np.array_equal(
+        np.asarray(params["image_encoder"]["trunk"]["blocks"][0]["norm1"]["weight"]),
+        np.asarray(restored["image_encoder"]["trunk"]["blocks"][0]["norm1"]["weight"]),
+    )

@@ -27,19 +27,21 @@ from sam2_opt_tpu.ops import posenc
 
 
 class MemoryInput(NamedTuple):
-    """Fixed-capacity memory bank view for one tracking step (batch of 1 obj).
+    """Fixed-capacity memory bank view for one tracking step, batched over
+    objects (B = number of objects tracked together; the reference loops
+    objects at B=1 — batching them is the idiomatic TPU win).
 
     `feats` and `ptrs` are TUPLES of per-slot arrays (stacked inside the
     compiled graph): slots are stored as separate buffers in the tracking
     state, and fusing the gather into the jit avoids a per-frame eager stack.
     """
 
-    feats: tuple            # S x [1, 64, 64, mem_dim] spatial memory features
-    tpos_idx: jnp.ndarray   # [S] int32 index into maskmem_tpos_enc
-    valid: jnp.ndarray      # [S] bool
-    ptrs: tuple             # P x [1, C] object pointers
-    ptr_pos: jnp.ndarray    # [P] float32 normalized temporal distance
-    ptr_valid: jnp.ndarray  # [P] bool
+    feats: tuple            # S x [B, g, g, mem_dim] spatial memory features
+    tpos_idx: jnp.ndarray   # [B, S] int32 index into maskmem_tpos_enc
+    valid: jnp.ndarray      # [B, S] bool
+    ptrs: tuple             # P x [B, C] object pointers
+    ptr_pos: jnp.ndarray    # [B, P] float32 normalized temporal distance
+    ptr_valid: jnp.ndarray  # [B, P] bool
 
 
 def _memory_tokens(p, cfg: SAM2Config, mem: MemoryInput, dtype):
@@ -50,34 +52,47 @@ def _memory_tokens(p, cfg: SAM2Config, mem: MemoryInput, dtype):
     tokens get the 1-D sine temporal PE through obj_ptr_tpos_proj and are split
     into C/mem_dim tokens each.
     """
-    S = len(mem.feats)
-    D = mem.feats[0].shape[-1]
-    gh, gw = mem.feats[0].shape[1], mem.feats[0].shape[2]
+    # slots may arrive as nested tuples (per-slot tuples of per-object [1,...]
+    # arrays) so that ALL stacking happens inside the compiled graph — on
+    # dispatch-latency-bound backends host-side concats dominate otherwise
+    feats = tuple(
+        jnp.concatenate(f, axis=0) if isinstance(f, (tuple, list)) else f
+        for f in mem.feats
+    )
+    ptrs_in = tuple(
+        jnp.concatenate(x, axis=0) if isinstance(x, (tuple, list)) else x
+        for x in mem.ptrs
+    )
+    S = len(feats)
+    B = feats[0].shape[0]
+    D = feats[0].shape[-1]
+    gh, gw = feats[0].shape[1], feats[0].shape[2]
     L = gh * gw
     C = cfg.hidden_dim
     tokens_per_ptr = C // D
 
-    stacked = jnp.stack([f.reshape(L, D) for f in mem.feats], axis=0)
-    spatial = stacked.reshape(1, S * L, D).astype(dtype)
-    mem_pe = posenc.sine_pos_embed_2d(gh, gw, D).reshape(1, L, D).astype(dtype)
-    tpos = p["maskmem_tpos_enc"][mem.tpos_idx][:, 0]  # [S, 1, D]
-    spatial_pos = (mem_pe + tpos.astype(dtype)).reshape(1, S * L, D)
+    stacked = jnp.stack([f.reshape(B, L, D) for f in feats], axis=1)
+    spatial = stacked.reshape(B, S * L, D).astype(dtype)
+    mem_pe = posenc.sine_pos_embed_2d(gh, gw, D).reshape(1, 1, L, D).astype(dtype)
+    tpos = p["maskmem_tpos_enc"][mem.tpos_idx][:, :, :, 0]  # [B, S, 1, D]
+    spatial_pos = (mem_pe + tpos.astype(dtype)).reshape(B, S * L, D)
 
     # object pointers -> mem_dim-sized tokens
-    ptrs = jnp.concatenate([jnp.asarray(x, jnp.float32) for x in mem.ptrs], axis=0)
-    ptr_pe = posenc.get_1d_sine_pe(mem.ptr_pos, dim=C)  # [P, C]
-    ptr_pe = ops.linear(p["obj_ptr_tpos_proj"], ptr_pe.astype(dtype))  # [P, D]
-    ptr_tokens = ptrs.astype(dtype).reshape(-1, tokens_per_ptr, D).reshape(1, -1, D)
-    ptr_pos_tokens = jnp.repeat(ptr_pe, tokens_per_ptr, axis=0)[None]  # [1, P*t, D]
+    ptrs = jnp.stack([jnp.asarray(x, jnp.float32) for x in ptrs_in], axis=1)
+    ptr_pe = posenc.get_1d_sine_pe(mem.ptr_pos, dim=C)  # [B, P, C]
+    ptr_pe = ops.linear(p["obj_ptr_tpos_proj"], ptr_pe.astype(dtype))  # [B, P, D]
+    ptr_tokens = ptrs.astype(dtype).reshape(B, -1, tokens_per_ptr, D).reshape(B, -1, D)
+    ptr_pos_tokens = jnp.repeat(ptr_pe, tokens_per_ptr, axis=1)  # [B, P*t, D]
 
     tokens = jnp.concatenate([spatial, ptr_tokens], axis=1)
     positions = jnp.concatenate([spatial_pos, ptr_pos_tokens], axis=1)
     kv_mask = jnp.concatenate(
         [
-            jnp.repeat(mem.valid, L),
-            jnp.repeat(mem.ptr_valid, tokens_per_ptr),
-        ]
-    )[None]
+            jnp.repeat(mem.valid, L, axis=1),
+            jnp.repeat(mem.ptr_valid, tokens_per_ptr, axis=1),
+        ],
+        axis=1,
+    )
     return tokens, positions, kv_mask, S * L
 
 

@@ -493,16 +493,35 @@ class SAM2VideoPredictor:
 
         for frame_idx in processing_order:
             pred_masks_per_obj = [None] * batch_size
+            to_track = []
             for obj_idx in range(batch_size):
                 obj_output_dict = inference_state["output_dict_per_obj"][obj_idx]
                 if frame_idx in obj_output_dict["cond_frame_outputs"]:
                     current_out = obj_output_dict["cond_frame_outputs"][frame_idx]
-                    pred_masks = current_out["pred_masks"]
+                    pred_masks_per_obj[obj_idx] = current_out["pred_masks"]
                     if self.clear_non_cond_mem_around_input:
                         self._clear_obj_non_cond_mem_around_input(
                             inference_state, frame_idx, obj_idx
                         )
                 else:
+                    to_track.append(obj_idx)
+
+            # object-batched tracking: one compiled call for all objects that
+            # need this frame (the reference runs them one-by-one at B=1)
+            batched_outs = None
+            if len(to_track) > 1:
+                batched_outs = self._run_batched_frame_inference(
+                    inference_state, to_track, frame_idx, reverse
+                )
+            if batched_outs is not None:
+                for obj_idx, current_out in zip(to_track, batched_outs):
+                    inference_state["output_dict_per_obj"][obj_idx][
+                        "non_cond_frame_outputs"
+                    ][frame_idx] = current_out
+                    pred_masks_per_obj[obj_idx] = current_out["pred_masks"]
+            else:
+                for obj_idx in to_track:
+                    obj_output_dict = inference_state["output_dict_per_obj"][obj_idx]
                     current_out = self._run_single_frame_inference(
                         inference_state=inference_state,
                         output_dict=obj_output_dict,
@@ -514,11 +533,11 @@ class SAM2VideoPredictor:
                         run_mem_encoder=True,
                     )
                     obj_output_dict["non_cond_frame_outputs"][frame_idx] = current_out
-                    pred_masks = current_out["pred_masks"]
+                    pred_masks_per_obj[obj_idx] = current_out["pred_masks"]
+            for obj_idx in range(batch_size):
                 inference_state["frames_tracked_per_obj"][obj_idx][frame_idx] = {
                     "reverse": reverse
                 }
-                pred_masks_per_obj[obj_idx] = pred_masks
 
             if len(pred_masks_per_obj) > 1:
                 all_pred_masks = jnp.concatenate(pred_masks_per_obj, axis=0)
@@ -639,13 +658,31 @@ class SAM2VideoPredictor:
         ptr_pos[: len(pos_list)] = [pp / t_diff_max for pp in pos_list]
         ptr_valid[: len(ptrs_list)] = True
 
+        # host numpy for the small fields (single H2D at jit-call time);
+        # device arrays stay as tuples, stacked inside the compiled graph
         return vc.MemoryInput(
             feats=mem_feats,
-            tpos_idx=jnp.asarray(tpos_idx),
-            valid=jnp.asarray(valid),
+            tpos_idx=tpos_idx[None],
+            valid=valid[None],
             ptrs=ptrs,
-            ptr_pos=jnp.asarray(ptr_pos),
-            ptr_valid=jnp.asarray(ptr_valid),
+            ptr_pos=ptr_pos[None],
+            ptr_valid=ptr_valid[None],
+        )
+
+    @staticmethod
+    def _stack_memory(mems):
+        """Combine per-object MemoryInputs (B=1 each) into one batched input.
+        Device slots become nested tuples (concatenated INSIDE the jit); the
+        small index fields are numpy-stacked on host."""
+        S = len(mems[0].feats)
+        P = len(mems[0].ptrs)
+        return vc.MemoryInput(
+            feats=tuple(tuple(m.feats[i] for m in mems) for i in range(S)),
+            tpos_idx=np.concatenate([m.tpos_idx for m in mems], axis=0),
+            valid=np.concatenate([m.valid for m in mems], axis=0),
+            ptrs=tuple(tuple(m.ptrs[i] for m in mems) for i in range(P)),
+            ptr_pos=np.concatenate([m.ptr_pos for m in mems], axis=0),
+            ptr_valid=np.concatenate([m.ptr_valid for m in mems], axis=0),
         )
 
     def _zero_mem_slot(self, D):
@@ -682,8 +719,17 @@ class SAM2VideoPredictor:
                 )
         elif kind == "cond":
             def fn(p, feats, mem, coords, labels, prev_logits):
+                B = mem.tpos_idx.shape[0]
+                f0, f1, f2 = feats
+                if B > 1 and f2.shape[0] == 1:
+                    # object-batched tracking: one shared frame encode,
+                    # memory/heads batched over objects (the reference loops
+                    # objects at batch 1; batching is the TPU win)
+                    f0 = jnp.repeat(f0, B, axis=0)
+                    f1 = jnp.repeat(f1, B, axis=0)
+                    f2 = jnp.repeat(f2, B, axis=0)
                 return vc.track_step_conditioned(
-                    p, cfg, feats, mem, coords, labels, prev_logits,
+                    p, cfg, (f0, f1, f2), mem, coords, labels, prev_logits,
                     multimask_output=static["multimask"],
                     run_mem_encoder=static["run_mem_encoder"],
                     fill_hole_area=static["fill_hole_area"],
@@ -811,6 +857,76 @@ class SAM2VideoPredictor:
                 [v for v in compact.values() if v is not None]
             )
         return compact
+
+    def _run_batched_frame_inference(self, inference_state, obj_idxs,
+                                     frame_idx, reverse):
+        """Track several objects in one compiled call (shared frame features,
+        batched memory). Returns a list of compact outputs per object, or
+        None when batching is not applicable (mixed memory capacities)."""
+        feats = self._get_image_feature(inference_state, frame_idx)
+        mems = [
+            self._gather_memory(
+                inference_state,
+                inference_state["output_dict_per_obj"][i],
+                frame_idx,
+                reverse,
+            )
+            for i in obj_idxs
+        ]
+        if len({len(m.feats) for m in mems}) != 1:
+            return None
+        mem = self._stack_memory(mems)
+        multimask = self._use_multimask(False, None)
+        fill = self.fill_hole_area
+        fn = self._track_jit(
+            "cond", multimask=multimask, run_mem_encoder=True,
+            fill_hole_area=fill, has_pts=0, has_prev=False,
+            mem_cap=len(mem.feats), batched=len(obj_idxs),
+        )
+        last_err = None
+        for _attempt in range(3):
+            try:
+                out = fn(self.model._p, feats, mem, None, None, None)
+                break
+            except Exception as e:  # pragma: no cover - backend flake path
+                if "TPU backend error" not in str(e):
+                    raise
+                last_err = e
+                import time
+
+                time.sleep(1.0)
+        else:
+            raise last_err
+
+        pred_masks = out["pred_masks"]
+        if fill > 0:
+            key = ("fill_holes", pred_masks.shape, fill)
+            ffn = self.model._jit_fns.get(key)
+            if ffn is None:
+                from sam2_opt_tpu.ops.connected_components import (
+                    fill_holes_in_mask_scores,
+                )
+
+                ffn = jax.jit(lambda m: fill_holes_in_mask_scores(m, fill))
+                self.model._jit_fns[key] = ffn
+            pred_masks = ffn(pred_masks)
+
+        if self.sync_per_frame:
+            jax.block_until_ready(
+                [pred_masks, out["obj_ptr"], out["object_score_logits"],
+                 out["maskmem_features"]]
+            )
+        results = []
+        for i in range(len(obj_idxs)):
+            results.append(
+                {
+                    "maskmem_features": out["maskmem_features"][i : i + 1],
+                    "pred_masks": pred_masks[i : i + 1],
+                    "obj_ptr": out["obj_ptr"][i : i + 1],
+                    "object_score_logits": out["object_score_logits"][i : i + 1],
+                }
+            )
+        return results
 
     def _run_memory_encoder(self, inference_state, frame_idx, high_res_masks,
                             object_score_logits, is_mask_from_pts):

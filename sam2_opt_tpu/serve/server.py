@@ -114,7 +114,10 @@ def make_handler(api: InferenceAPI):
             except KeyError as e:
                 self._json(400, {"error": f"missing field {e}"})
             except RuntimeError as e:
-                self._json(404, {"error": str(e)})
+                status = 404 if "Cannot find session" in str(e) else 500
+                self._json(status, {"error": str(e)})
+            except Exception as e:  # surface internal errors as 500 JSON
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler
 

@@ -128,13 +128,16 @@ def _training_memory(cfg: SAM2Config, mem_feats: List, obj_ptrs: List,
             ptrs.append(jnp.zeros_like(obj_ptrs[0]))
             ppos.append(0.0)
             pvalid.append(False)
+    def tile(x, dtype):
+        return jnp.broadcast_to(jnp.asarray(x, dtype)[None], (B, len(x)))
+
     return vc.MemoryInput(
         feats=tuple(feats),
-        tpos_idx=jnp.asarray(tpos, jnp.int32),
-        valid=jnp.asarray(valid),
+        tpos_idx=tile(tpos, jnp.int32),
+        valid=tile(valid, bool),
         ptrs=tuple(ptrs),
-        ptr_pos=jnp.asarray(ppos, jnp.float32),
-        ptr_valid=jnp.asarray(pvalid),
+        ptr_pos=tile(ppos, jnp.float32),
+        ptr_valid=tile(pvalid, bool),
     )
 
 

@@ -20,6 +20,26 @@ __all__ = [
     "build_sam2",
     "build_sam2_image_predictor",
     "build_sam2_video_predictor",
+    "SAM2ImagePredictor",
+    "SAM2VideoPredictor",
+    "SAM2AutomaticMaskGenerator",
 ]
+
+
+def __getattr__(name):
+    # lazy class exports (avoid importing predictors at package import)
+    if name == "SAM2ImagePredictor":
+        from sam2_opt_tpu.predictors.image import SAM2ImagePredictor
+
+        return SAM2ImagePredictor
+    if name == "SAM2VideoPredictor":
+        from sam2_opt_tpu.predictors.video import SAM2VideoPredictor
+
+        return SAM2VideoPredictor
+    if name == "SAM2AutomaticMaskGenerator":
+        from sam2_opt_tpu.predictors.amg import SAM2AutomaticMaskGenerator
+
+        return SAM2AutomaticMaskGenerator
+    raise AttributeError(name)
 
 __version__ = "0.1.0"

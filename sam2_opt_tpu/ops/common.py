@@ -69,6 +69,20 @@ def mlp(p, x, num_layers: int, activation=jax.nn.relu, sigmoid_output: bool = Fa
     return x
 
 
+def drop_path(x, rng, drop_prob: float = 0.0, training: bool = False,
+              scale_by_keep: bool = True):
+    """Stochastic depth (reference sam2_utils.py:92-107 DropPath). Identity at
+    inference or drop_prob 0."""
+    if drop_prob == 0.0 or not training:
+        return x
+    keep_prob = 1.0 - drop_prob
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    keep = jax.random.bernoulli(rng, keep_prob, shape).astype(x.dtype)
+    if keep_prob > 0.0 and scale_by_keep:
+        keep = keep / keep_prob
+    return x * keep
+
+
 def gelu(x):
     """torch nn.GELU default = exact erf formulation (fp32 parity path).
     Under bf16 compute the tanh approximation is used — its ~1e-3 relative

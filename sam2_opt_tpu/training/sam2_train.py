@@ -94,6 +94,45 @@ def sample_box_points(rng, masks, noise: float = 0.1, noise_bound: int = 20):
     return coords, labels
 
 
+def get_next_point(gt_masks: "np.ndarray", pred_masks, method: str = "uniform"):
+    """Host-side next-click sampler (reference sam2_utils.py:317 get_next_point):
+    method "center" picks the center of the largest error region via a
+    distance transform (cv2); "uniform" samples uniformly from the error
+    region. Used for eval-style interactive correction outside the jit path.
+    gt/pred: [B, 1, H, W] numpy bool. Returns (coords [B,1,2], labels [B,1])."""
+    import numpy as np
+
+    B, _, H, W = gt_masks.shape
+    coords = np.zeros((B, 1, 2), np.float32)
+    labels = np.zeros((B, 1), np.int32)
+    for b in range(B):
+        gt = gt_masks[b, 0].astype(bool)
+        pred = (
+            np.zeros_like(gt) if pred_masks is None else pred_masks[b, 0].astype(bool)
+        )
+        fp = ~gt & pred
+        fn = gt & ~pred
+        error = fp | fn
+        pool = error if error.any() else gt
+        if not pool.any():
+            labels[b, 0] = -1
+            continue
+        if method == "center":
+            import cv2
+
+            dist = cv2.distanceTransform(
+                pool.astype(np.uint8), cv2.DIST_L2, 0
+            )
+            y, x = np.unravel_index(np.argmax(dist), dist.shape)
+        else:
+            ys, xs = np.nonzero(pool)
+            i = np.random.randint(len(ys))
+            y, x = ys[i], xs[i]
+        coords[b, 0] = (x, y)
+        labels[b, 0] = 1 if (fn[y, x] or not error.any()) else 0
+    return coords, labels
+
+
 def _gt_point_prompt(rng, gt_masks):
     """First click: a positive point sampled from the GT mask."""
     zeros = jnp.zeros_like(gt_masks)

@@ -1,0 +1,102 @@
+"""Training launcher CLI (re-design of sam2/training/train.py).
+
+The reference launches torch.multiprocessing per GPU + SLURM via submitit;
+on TPU a single process drives all local devices through the jax mesh, and
+pod-scale runs launch this same script per host (jax.distributed).
+
+    python -m sam2_opt_tpu.training.train \
+        --img_folder MOSE/JPEGImages --gt_folder MOSE/Annotations \
+        --variant hiera_b+ --checkpoint sam2.1_hiera_base_plus.pt \
+        --num-epochs 40 --num-frames 8
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--variant", default="hiera_b+")
+    parser.add_argument("--checkpoint", default=None,
+                        help=".pt or native orbax params dir")
+    parser.add_argument("--img_folder", required=True)
+    parser.add_argument("--gt_folder", required=True)
+    parser.add_argument("--val_img_folder", default=None)
+    parser.add_argument("--val_gt_folder", default=None)
+    parser.add_argument("--num-epochs", type=int, default=40)
+    parser.add_argument("--batch-size", type=int, default=1)
+    parser.add_argument("--num-frames", type=int, default=8)
+    parser.add_argument("--max-objects", type=int, default=3)
+    parser.add_argument("--lr", type=float, default=5e-6)
+    parser.add_argument("--layer-decay", type=float, default=0.8)
+    parser.add_argument("--image-size", type=int, default=None)
+    parser.add_argument("--log-dir", default="logs")
+    parser.add_argument("--checkpoint-dir", default="checkpoints_train")
+    parser.add_argument("--freeze-image-encoder", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    import jax
+
+    from sam2_opt_tpu.config import model_config
+    from sam2_opt_tpu.io.checkpoints import build_from_any
+    from sam2_opt_tpu.training.data import (
+        PNGRawDataset,
+        RandomUniformSampler,
+        VOSDataset,
+        data_loader,
+    )
+    from sam2_opt_tpu.training.trainer import TrainConfig, Trainer
+
+    overrides = {}
+    if args.image_size:
+        overrides["image_size"] = args.image_size
+    cfg = model_config(args.variant, **overrides)
+    model = build_from_any(args.variant, args.checkpoint)
+    params = model.params
+
+    tcfg = TrainConfig(
+        num_epochs=args.num_epochs,
+        batch_size=args.batch_size,
+        num_frames=args.num_frames,
+        max_num_objects=args.max_objects,
+        base_lr=args.lr,
+        layer_decay=args.layer_decay,
+        log_dir=args.log_dir,
+        checkpoint_dir=args.checkpoint_dir,
+        freeze_image_encoder=args.freeze_image_encoder,
+        seed=args.seed,
+    )
+    trainer = Trainer(cfg, params, tcfg)
+
+    raw = PNGRawDataset(args.img_folder, args.gt_folder)
+    ds = VOSDataset(
+        raw, RandomUniformSampler(num_frames=args.num_frames,
+                                  max_num_objects=args.max_objects),
+        image_size=cfg.image_size, max_num_objects=args.max_objects,
+        seed=args.seed,
+    )
+
+    def train_loader(epoch):
+        return data_loader(ds, args.batch_size, seed=args.seed + epoch)
+
+    val_loader = None
+    if args.val_img_folder:
+        from sam2_opt_tpu.training.data import EvalSampler
+
+        vraw = PNGRawDataset(args.val_img_folder, args.val_gt_folder)
+        vds = VOSDataset(vraw, EvalSampler(), image_size=cfg.image_size,
+                         max_num_objects=args.max_objects, hflip_prob=0.0)
+
+        def val_loader(epoch):
+            return data_loader(vds, 1, shuffle=False, drop_last=False)
+
+    steps_per_epoch = max(len(ds) // args.batch_size, 1)
+    print(f"training {args.variant} on {len(ds)} videos, "
+          f"{steps_per_epoch} steps/epoch, devices: {jax.device_count()}")
+    trainer.run(train_loader, val_loader, steps_per_epoch=steps_per_epoch)
+
+
+if __name__ == "__main__":
+    main()

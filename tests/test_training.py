@@ -105,7 +105,9 @@ def test_train_step_end_to_end(tmp_path, tiny128_cfg, tiny128_params):
     img_root, gt_root = _make_davis_dataset(tmp_path, num_videos=1,
                                             num_frames=2, size=128)
     cfg = tiny128_cfg
-    params = tiny128_params
+    # the compiled train step donates its params buffers — copy so the shared
+    # session fixture stays alive for later tests
+    params = jax.tree_util.tree_map(jnp.copy, tiny128_params)
     tcfg = TrainConfig(
         num_epochs=1, batch_size=1, num_frames=2, max_num_objects=1,
         checkpoint_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"),

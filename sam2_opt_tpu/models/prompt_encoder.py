@@ -52,10 +52,10 @@ def embed_points(p, coords, labels, input_image_size: Tuple[int, int], pad: bool
 def embed_masks(p, masks):
     """Dense mask prompt [B,256,256,1] NHWC -> [B,64,64,C]
     (reference prompt_encoder.py:59-67 mask_downscaling)."""
-    x = ops.conv2d(p["mask_downscaling"][0], masks, stride=(2, 2), padding="VALID")
+    x = ops.conv2d_nonoverlap(p["mask_downscaling"][0], masks)
     x = ops.layer_norm_2d(p["mask_downscaling"][1], x)
     x = ops.gelu(x)
-    x = ops.conv2d(p["mask_downscaling"][3], x, stride=(2, 2), padding="VALID")
+    x = ops.conv2d_nonoverlap(p["mask_downscaling"][3], x)
     x = ops.layer_norm_2d(p["mask_downscaling"][4], x)
     x = ops.gelu(x)
     return ops.conv2d(p["mask_downscaling"][6], x)

@@ -174,9 +174,7 @@ def use_mask_as_output(p, cfg: SAM2Config, backbone_features, high_res_features,
         # Downsample the mask to the low-res prompt grid through the learned
         # stride-4 conv (reference :112, :523) and run the SAM heads on it.
         mask_nhwc = jnp.transpose(mask_inputs_float, (0, 2, 3, 1))
-        sam_mask_prompt = ops.conv2d(
-            p["mask_downsample"], mask_nhwc, stride=(4, 4), padding="VALID"
-        )
+        sam_mask_prompt = ops.conv2d_nonoverlap(p["mask_downsample"], mask_nhwc)
         coords = jnp.zeros((B, 1, 2), jnp.float32)
         labels = -jnp.ones((B, 1), jnp.int32)
         _, _, _, _, _, obj_ptr, _ = forward_sam_heads(

@@ -115,6 +115,24 @@ def conv2d(
     return y
 
 
+def conv2d_nonoverlap(p, x):
+    """Non-overlapping strided conv (kernel == stride, no padding) as
+    space-to-depth + matmul. Mathematically identical to conv2d but avoids
+    XLA's space-to-batch conv pass (which CHECK-fails on the backprop-filter
+    form of these convs) and feeds the MXU a dense matmul."""
+    w = p["weight"]  # [kh, kw, C, O]
+    kh, kw, C, O = w.shape
+    B, H, W, _ = x.shape
+    patches = x.reshape(B, H // kh, kh, W // kw, kw, C)
+    patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(
+        B, H // kh, W // kw, kh * kw * C
+    )
+    y = jnp.matmul(patches, w.reshape(kh * kw * C, O).astype(x.dtype))
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
 def conv_transpose2d(p, x, stride: Tuple[int, int] = (2, 2)):
     """NHWC transposed conv with HWOI kernel, matching torch ConvTranspose2d
     with kernel_size == stride and no padding (the only form used by the

@@ -48,6 +48,13 @@ class SAM2ImagePredictor:
     def cfg(self) -> SAM2Config:
         return self.model.cfg
 
+    @classmethod
+    def from_pretrained(cls, model_id: str, **kwargs) -> "SAM2ImagePredictor":
+        """HF-hub loader (reference sam2_image_predictor.py:74-89)."""
+        from sam2_opt_tpu.build_sam import build_sam2_hf
+
+        return cls(build_sam2_hf(model_id), **kwargs)
+
     # ------------------------------------------------------------------ #
     # speedup / backend seam (reference sam2_image_predictor.py:94-138)
     # ------------------------------------------------------------------ #

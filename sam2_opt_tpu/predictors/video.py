@@ -82,6 +82,14 @@ class SAM2VideoPredictor:
     def cfg(self) -> SAM2Config:
         return self.model.cfg
 
+    @classmethod
+    def from_pretrained(cls, model_id: str, **kwargs) -> "SAM2VideoPredictor":
+        """HF-hub loader (reference sam2_video_predictor_official.py:207-222)."""
+        from sam2_opt_tpu.build_sam import build_sam2_hf
+
+        kwargs.setdefault("fill_hole_area", 8)
+        return cls(build_sam2_hf(model_id), **kwargs)
+
     @property
     def image_size(self) -> int:
         return self.cfg.image_size

@@ -139,6 +139,23 @@ def _gt_point_prompt(rng, gt_masks):
     return sample_random_points_from_errors(rng, gt_masks, zeros, num_pts=1)
 
 
+def _init_prompt(rng, gt_masks, use_box: bool):
+    """Initial prompt in a static [B, 2] layout: box mode uses the two jittered
+    corner points (labels 2/3); point mode uses one GT click + one padding
+    point (label -1) — matching how the reference mixes box/point prompts
+    (model/sam2.py prob_to_use_box_input)."""
+    if use_box:
+        return sample_box_points(rng, gt_masks)
+    coords, labels = _gt_point_prompt(rng, gt_masks)
+    B = coords.shape[0]
+    pad_c = jnp.zeros((B, 1, 2), jnp.float32)
+    pad_l = -jnp.ones((B, 1), jnp.int32)
+    return (
+        jnp.concatenate([coords, pad_c], axis=1),
+        jnp.concatenate([labels, pad_l], axis=1),
+    )
+
+
 def _training_memory(cfg: SAM2Config, mem_feats: List, obj_ptrs: List,
                      t_pos_list: List[int], ptr_pos: List[float]):
     """Assemble a MemoryInput from in-graph per-frame outputs (training uses
@@ -187,10 +204,15 @@ def forward_tracking(
     gt_masks,      # [T, B_obj, S, S] bool
     rng,
     num_init_cond_frames: int = 1,
-    prob_to_use_box_input: float = 0.0,
+    use_box_input: bool = False,
+    use_mask_input: bool = False,
     num_correction_clicks: int = 1,
     use_remat: bool = True,
 ):
+    """`use_box_input` / `use_mask_input` select the initial prompt form;
+    the trainer samples them per step from prob_to_use_pt_input /
+    prob_to_use_box_input (reference model/sam2.py:146-267) — static per
+    compiled variant."""
     """Simulated interactive tracking over T frames (reference
     model/sam2.py:269-447 forward_tracking + track_step). Returns per-frame
     lists of (high-res multimask logits, ious, object scores) for the loss."""
@@ -226,8 +248,11 @@ def forward_tracking(
         is_init = t < num_init_cond_frames
 
         if is_init:
-            coords, labels = _gt_point_prompt(k1, gt_t)
             pix_feat = base.no_mem_features(params, f2)
+            if use_mask_input:
+                coords = labels = None
+            else:
+                coords, labels = _init_prompt(k1, gt_t, use_box_input)
         else:
             mem = _training_memory(cfg, mem_feats, obj_ptrs, t_pos_list, ptr_pos)
             pix_feat = vc.condition_on_memory(params, cfg, f2, mem)
@@ -241,12 +266,19 @@ def forward_tracking(
                 multimask_output=True,
             )
 
-        outs = sam_step(coords, labels)
+        if is_init and use_mask_input:
+            # GT-mask-as-prompt init frame (reference use_mask_input path,
+            # sam2_base_official.py:496 _use_mask_as_output)
+            outs = base.use_mask_as_output(
+                params, cfg, pix_feat, (f0, f1), gt_t.astype(jnp.float32)
+            )
+        else:
+            outs = sam_step(coords, labels)
         (low_mm, high_mm, ious, low_res, high_res, obj_ptr, obj_score) = outs
 
         # iterative correction clicks on init frames (reference
         # _iter_correct_pt_sampling :448-529)
-        if is_init and num_correction_clicks > 0:
+        if is_init and not use_mask_input and num_correction_clicks > 0:
             for _ in range(num_correction_clicks):
                 rng, kc = jax.random.split(rng)
                 pred_bin = high_res > 0

@@ -51,6 +51,10 @@ class TrainConfig:
     grad_clip_norm: float = 0.1
     layer_decay: float = 0.8
     num_correction_clicks: int = 1
+    # initial-prompt sampling (reference model/sam2.py knobs)
+    prob_to_use_pt_input: float = 0.5
+    prob_to_use_box_input: float = 0.5
+    max_init_cond_frames: int = 1
     log_dir: str = "logs"
     checkpoint_dir: str = "checkpoints_train"
     save_freq_epochs: int = 1
@@ -104,12 +108,15 @@ class Trainer:
         self.best_val_loss = float("inf")
         self.ckpt = CheckpointManager(train_cfg.checkpoint_dir)
         self.tb = TensorBoardLogger(train_cfg.log_dir)
-        self._step_fn = None
+        self._step_fns = {}
         self._rng = jax.random.PRNGKey(train_cfg.seed)
+        import random as _random
+
+        self._pyrng = _random.Random(train_cfg.seed)
 
     # ------------------------------------------------------------------ #
 
-    def _build_step(self):
+    def _build_step(self, use_box=False, use_mask=False, n_init=1):
         cfg = self.cfg
         tcfg = self.tcfg
         optimizer = self.optimizer
@@ -124,6 +131,9 @@ class Trainer:
                 loss, aux = sam2_train.video_train_loss(
                     params, cfg, images[b], masks[b], keys[b],
                     num_correction_clicks=tcfg.num_correction_clicks,
+                    use_box_input=use_box,
+                    use_mask_input=use_mask,
+                    num_init_cond_frames=n_init,
                 )
                 total = total + loss
                 aux_sum = aux if aux_sum is None else {
@@ -192,8 +202,6 @@ class Trainer:
             steps_per_epoch: Optional[int] = None):
         """train_loader_fn(epoch) -> iterator of collated batches."""
         self.load_checkpoint()
-        if self._step_fn is None:
-            self._step_fn = self._build_step()
         total_steps = (steps_per_epoch or 1) * self.tcfg.num_epochs
 
         while self.epoch < self.tcfg.num_epochs:
@@ -230,8 +238,21 @@ class Trainer:
             where = self.steps / max(total_steps, 1)
             lr = jnp.asarray(self.optimizer.lr_at(where), jnp.float32)
 
+            # per-step sampling of the initial prompt form (reference
+            # prepare_prompt_inputs, model/sam2.py:146-267)
+            use_mask = self._pyrng.random() >= self.tcfg.prob_to_use_pt_input
+            use_box = (not use_mask) and (
+                self._pyrng.random() < self.tcfg.prob_to_use_box_input
+            )
+            n_init = self._pyrng.randint(1, max(self.tcfg.max_init_cond_frames, 1))
+            skey = (use_box, use_mask, n_init)
+            step_fn = self._step_fns.get(skey)
+            if step_fn is None:
+                step_fn = self._build_step(use_box, use_mask, n_init)
+                self._step_fns[skey] = step_fn
+
             t0 = time.time()
-            self.params, self.opt_state, metrics = self._step_fn(
+            self.params, self.opt_state, metrics = step_fn(
                 self.params, self.opt_state, images, masks, key, lr
             )
             loss = float(metrics["loss"])

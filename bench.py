@@ -1,14 +1,19 @@
-"""Headline benchmark: hiera-L 1024² image-encode throughput on one chip.
+"""Headline benchmarks on one chip: hiera-L 1024² image encode + per-frame
+video propagation.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-Baseline: reference TensorRT-fp16 e2e image encode on A100 = 0.030 s/image
-(BASELINE.md, doc/benchmark.md:12) -> 33.33 FPS. vs_baseline = our_fps / 33.33.
+Prints one JSON line {"metric", "value", "unit", "vs_baseline"} per metric:
+  - image_encode_hiera_l_1024px_fps     (baseline: TRT-fp16 A100 0.030 s/img,
+    BASELINE.md / reference doc/benchmark.md:12 -> 33.33 FPS)
+  - video_propagation_hiera_l_fps       (baseline: TRT-fp16 A100 0.044 s/frame,
+    reference doc/benchmark.md:46 -> 22.73 FPS; single object, full step =
+    image encode + 7-slot memory-conditioned track step + memory encode,
+    matching the reference per-frame `propagate_in_video` step)
 
 Methodology: on remote-attached TPUs, `block_until_ready` does not reflect
 device completion and every host call pays a ~25 ms relay round trip. We
-therefore run K data-dependent encodes inside ONE compiled loop, force
+therefore run K data-dependent iterations inside ONE compiled loop, force
 completion with a scalar fetch, and difference K=K_hi vs K=K_lo to cancel the
-fixed per-call overhead — yielding pure per-image device latency.
+fixed per-call overhead — yielding pure per-iteration device latency.
 """
 
 import json
@@ -18,7 +23,34 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_FPS = 1.0 / 0.030  # TRT-fp16 hiera-L image encode, A100
+BASELINE_IMAGE_FPS = 1.0 / 0.030  # TRT-fp16 hiera-L image encode, A100
+BASELINE_VIDEO_FPS = 1.0 / 0.044  # TRT-fp16 hiera-L per-frame propagation, A100
+
+
+def _timed(fn, k, reps=5):
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        float(fn(k))
+        ts.append(time.time() - t0)
+    return sorted(ts)[len(ts) // 2]
+
+
+def _diff_rate(fn, k_lo, k_hi, label):
+    t0 = time.time()
+    float(fn(k_lo))
+    float(fn(k_hi))
+    print(f"[bench] {label} compile+first runs: {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    t_lo = _timed(fn, k_lo)
+    t_hi = _timed(fn, k_hi)
+    per_iter = max((t_hi - t_lo) / (k_hi - k_lo), 1e-6)
+    print(
+        f"[bench] {label}: {per_iter*1000:.2f} ms/iter "
+        f"({1.0/per_iter:.2f} FPS); call overhead ~{(t_lo - k_lo*per_iter)*1000:.1f} ms",
+        file=sys.stderr,
+    )
+    return per_iter
 
 
 def main():
@@ -29,6 +61,7 @@ def main():
 
     from sam2_opt_tpu.config import model_config
     from sam2_opt_tpu.models import sam2_base as base
+    from sam2_opt_tpu.models import video_core as vc
     from sam2_opt_tpu.models.init import init_params
     from sam2_opt_tpu.models.model import _cast_tree
     from sam2_opt_tpu.core.executor import enable_persistent_cache
@@ -37,53 +70,105 @@ def main():
     variant = os.environ.get("BENCH_VARIANT", "hiera_l")
     cfg = model_config(variant)
     print(f"[bench] building {variant} ...", file=sys.stderr)
-    params = _cast_tree(
-        init_params(cfg, jax.random.PRNGKey(0)), jnp.bfloat16
-    )
-
-    @partial(jax.jit, static_argnames=("k",))
-    def encode_k(p, img, k):
-        def body(i, carry):
-            x = img + (carry * 1e-6).astype(img.dtype)
-            out = base.forward_image(p, cfg, base.image_normalize(x))
-            return jnp.mean(out["backbone_fpn"][2].astype(jnp.float32))
-
-        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+    params = _cast_tree(init_params(cfg, jax.random.PRNGKey(0)), jnp.bfloat16)
 
     s = cfg.image_size
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.random((1, s, s, 3), np.float32), jnp.bfloat16)
 
-    k_lo, k_hi = 2, 18
-    t0 = time.time()
-    float(encode_k(params, img, k_lo))
-    float(encode_k(params, img, k_hi))
-    print(f"[bench] compile+first runs: {time.time()-t0:.1f}s", file=sys.stderr)
+    results = []
 
-    def timed(k, reps=5):
-        ts = []
-        for _ in range(reps):
-            t0 = time.time()
-            float(encode_k(params, img, k))
-            ts.append(time.time() - t0)
-        return sorted(ts)[len(ts) // 2]
+    # ------------------------------------------------------------------ #
+    # 1. image encode (SAM2ImagePredictor.set_image path)
+    # ------------------------------------------------------------------ #
+    @partial(jax.jit, static_argnames=("k",))
+    def encode_k(p, x, k):
+        def body(i, carry):
+            y = x + (carry * 1e-6).astype(x.dtype)
+            out = base.forward_image(p, cfg, base.image_normalize(y))
+            return jnp.mean(out["backbone_fpn"][2].astype(jnp.float32))
 
-    t_lo = timed(k_lo)
-    t_hi = timed(k_hi)
-    per_image = max((t_hi - t_lo) / (k_hi - k_lo), 1e-6)
-    fps = 1.0 / per_image
-    print(
-        f"[bench] image encode {variant}: {per_image*1000:.2f} ms/img "
-        f"({fps:.2f} FPS); call overhead ~{(t_lo - k_lo*per_image)*1000:.1f} ms",
-        file=sys.stderr,
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    per_image = _diff_rate(lambda k: encode_k(params, img, k), 2, 18,
+                           f"image encode {variant}")
+    results.append({
+        "metric": f"image_encode_{variant}_1024px_fps",
+        "value": round(1.0 / per_image, 3),
+        "unit": "images/s/chip",
+        "vs_baseline": round(1.0 / per_image / BASELINE_IMAGE_FPS, 3),
+    })
+
+    # ------------------------------------------------------------------ #
+    # 2. per-frame video propagation, single object (the reference "Video"
+    #    row): full step = encode 1024² + memory-conditioned track step with
+    #    a FULL memory (7 spatial slots + 16 obj ptrs, the steady-state cost)
+    #    + memory encode, with the new memory/pointer fed back into the bank
+    #    so iterations are data-dependent.
+    # ------------------------------------------------------------------ #
+    S = cfg.num_maskmem
+    P = cfg.max_obj_ptrs_in_encoder
+    g = cfg.image_embedding_size
+    D = cfg.mem_dim
+    C = cfg.hidden_dim
+    multimask = bool(
+        cfg.multimask_output_in_sam
+        and cfg.multimask_output_for_tracking
+        and cfg.multimask_min_pt_num <= 0 <= cfg.multimask_max_pt_num
     )
 
-    print(json.dumps({
-        "metric": f"image_encode_{variant}_1024px_fps",
-        "value": round(fps, 3),
-        "unit": "images/s/chip",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
-    }))
+    tpos_idx = jnp.arange(S, dtype=jnp.int32)[None]            # [1,S]
+    valid = jnp.ones((1, S), bool)
+    ptr_pos = (jnp.arange(P, dtype=jnp.float32) / max(P - 1, 1))[None]
+    ptr_valid = jnp.ones((1, P), bool)
+
+    @partial(jax.jit, static_argnames=("k",))
+    def video_step_k(p, x, k):
+        def body(i, carry):
+            mem_feats, ptrs, acc = carry
+            y = x + (acc * 1e-6).astype(x.dtype)
+            out = base.forward_image(p, cfg, base.image_normalize(y))
+            hrf0, hrf1, embed = out["backbone_fpn"]
+            mem = vc.MemoryInput(
+                feats=tuple(mem_feats[j] for j in range(S)),
+                tpos_idx=tpos_idx,
+                valid=valid,
+                ptrs=tuple(ptrs[j] for j in range(P)),
+                ptr_pos=ptr_pos,
+                ptr_valid=ptr_valid,
+            )
+            o = vc.track_step_conditioned(
+                p, cfg, (hrf0, hrf1, embed), mem,
+                multimask_output=multimask, run_mem_encoder=True,
+            )
+            new_mem = jnp.concatenate(
+                [o["maskmem_features"][None], mem_feats[:-1]], axis=0
+            )
+            new_ptrs = jnp.concatenate(
+                [o["obj_ptr"][None], ptrs[:-1]], axis=0
+            )
+            return new_mem, new_ptrs, jnp.mean(
+                o["pred_masks"].astype(jnp.float32)
+            )
+
+        mem0 = jnp.zeros((S, 1, g, g, D), jnp.bfloat16)
+        ptrs0 = jnp.zeros((P, 1, C), jnp.float32)
+        _, _, acc = jax.lax.fori_loop(
+            0, k, body, (mem0, ptrs0, jnp.float32(0.0))
+        )
+        return acc
+
+    per_frame = _diff_rate(lambda k: video_step_k(params, img, k), 2, 12,
+                           f"video propagation {variant}")
+    results.append({
+        "metric": f"video_propagation_{variant}_fps",
+        "value": round(1.0 / per_frame, 3),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(1.0 / per_frame / BASELINE_VIDEO_FPS, 3),
+    })
+
+    for r in results:
+        print(json.dumps(r))
 
 
 if __name__ == "__main__":

@@ -39,6 +39,48 @@ def enable_persistent_cache(cache_dir: Optional[str] = None) -> None:
     _CACHE_INITIALIZED = True
 
 
+class LRUCache:
+    """Bounded dict for compiled executables. Long-lived servers (serve/)
+    accumulate per-shape jitted fns keyed by video resolution / mask shape;
+    without eviction that leaks compiled executables. Default capacity via
+    SAM2_TPU_JIT_CACHE_SIZE (128)."""
+
+    def __init__(self, maxsize: Optional[int] = None):
+        from collections import OrderedDict
+
+        if maxsize is None:
+            maxsize = int(os.environ.get("SAM2_TPU_JIT_CACHE_SIZE", "128"))
+        self.maxsize = max(int(maxsize), 1)
+        self._d = OrderedDict()
+
+    def get(self, key, default=None):
+        try:
+            self._d.move_to_end(key)
+            return self._d[key]
+        except KeyError:
+            return default
+
+    def __getitem__(self, key):
+        self._d.move_to_end(key)
+        return self._d[key]
+
+    def __setitem__(self, key, value):
+        if key in self._d:
+            self._d.move_to_end(key)
+        self._d[key] = value
+        while len(self._d) > self.maxsize:
+            self._d.popitem(last=False)
+
+    def __contains__(self, key):
+        return key in self._d
+
+    def __len__(self):
+        return len(self._d)
+
+    def clear(self):
+        self._d.clear()
+
+
 class Executor(Protocol):
     """Protocol mirroring ytools.executor.ModelExectuor (sic) — SURVEY.md §2.2."""
 

@@ -1,5 +1,10 @@
 """J (region IoU) & F (boundary) metrics for video object segmentation.
 
+The metric math derives from davis2017-evaluation (BSD-3) and
+hkchengrex/vos-benchmark (MIT) via the reference sav_benchmark — see
+LICENSES/LICENSE_DAVIS and LICENSES/LICENSE_VOS_BENCHMARK. It must stay
+numerically identical to be a meaningful benchmark.
+
 Re-design of sam2/sav_dataset/utils/sav_benchmark.py:156-314 (itself from
 hkchengrex/vos-benchmark and davis2017-evaluation). Pure numpy + cv2 dilate;
 the boundary disk is generated locally (no skimage dependency).

@@ -1,5 +1,9 @@
 """SA-V / DAVIS benchmark driver: folder scanning + multiprocess J&F.
 
+Adapted from the reference sav_dataset/utils/sav_benchmark.py, itself from
+hkchengrex/vos-benchmark (MIT) and davis2017-evaluation (BSD-3) — see
+LICENSES/LICENSE_VOS_BENCHMARK and LICENSES/LICENSE_DAVIS.
+
 Re-design of sam2/sav_dataset/utils/sav_benchmark.py:26-154 and :316-420.
 Directory layouts supported (same as the reference):
 

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sam2_opt_tpu.config import SAM2Config, model_config
-from sam2_opt_tpu.core.executor import enable_persistent_cache
+from sam2_opt_tpu.core.executor import LRUCache, enable_persistent_cache
 from sam2_opt_tpu.models import mask_decoder as md
 from sam2_opt_tpu.models import prompt_encoder as pe
 from sam2_opt_tpu.models import sam2_base as base
@@ -43,7 +43,9 @@ class SAM2Model:
         self.backend = "eager"
         self.compute_dtype = jnp.float32
         self._compute_params = self.params
-        self._jit_fns: Dict = {}
+        # bounded: long-lived servers would otherwise leak per-shape
+        # compiled executables (keys include video resolution / mask shape)
+        self._jit_fns = LRUCache()
 
     # ------------------------------------------------------------------ #
     # backend management (reference seam: set_runtime_backend / speedup)

@@ -229,13 +229,37 @@ def use_flash_attention() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+def use_window_kernel() -> bool:
+    """Opt-in Pallas fused window-attention kernel (SAM2_TPU_WINDOW_KERNEL=1).
+    Off by default: on v5e it measured SLOWER than XLA's fused SDPA for
+    Hiera's small windows (see doc/benchmark.md), kept behind the flag for
+    re-evaluation on other TPU generations."""
+    import os
+
+    return os.environ.get("SAM2_TPU_WINDOW_KERNEL", "0") == "1"
+
+
 def flash_or_sdpa(q, k, v, kv_mask=None, min_seq: int = 1024):
-    """Dispatch to the Pallas flash kernel for large sequences on TPU, else
-    unfused SDPA. kv_mask: [B, Skv] bool or None."""
+    """Dispatch on [B, heads, seq, head_dim]: Pallas flash kernel for large
+    sequences on TPU; optional Pallas window kernel for small unmasked
+    windows; else unfused SDPA. kv_mask: [B, Skv] bool or None."""
     if use_flash_attention() and q.shape[-2] * k.shape[-2] >= min_seq * min_seq:
         from sam2_opt_tpu.kernels.flash_attention import flash_attention
 
         return flash_attention(q, k, v, kv_mask=kv_mask)
+    if (
+        kv_mask is None
+        and use_window_kernel()
+        and use_flash_attention()
+        and q.shape[-2] == k.shape[-2]
+        and q.shape[-2] <= 1024
+    ):
+        from sam2_opt_tpu.kernels.window_attention import window_attention
+
+        B, H, S, D = q.shape
+        flat = lambda x: x.reshape(B * H, S, D)
+        out = window_attention(flat(q), flat(k), flat(v))
+        return out.reshape(B, H, S, D)
     mask = None if kv_mask is None else kv_mask[:, None, None, :]
     return scaled_dot_product_attention(q, k, v, mask=mask)
 

@@ -1,5 +1,9 @@
 """SAM2AutomaticMaskGenerator — dense grid prompting over the image predictor.
 
+Adapted from Meta's SAM2 `sam2/sam2/automatic_mask_generator.py`
+(Apache-2.0; see LICENSES/LICENSE_SAM2_APACHE2): the crop/filter/NMS flow
+keeps the upstream structure for output compatibility.
+
 API-parity re-design of sam2/sam2/automatic_mask_generator.py:36-454, with
 numpy host-side mask bookkeeping (utils/amg.py) and a self-contained NMS.
 """

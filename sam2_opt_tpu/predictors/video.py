@@ -58,6 +58,7 @@ class SAM2VideoPredictor:
         non_overlap_masks: bool = False,
         clear_non_cond_mem_around_input: bool = False,
         add_all_frames_to_correct_as_cond: bool = False,
+        sync_per_frame: Optional[bool] = None,
         **kwargs,
     ):
         self.model = sam_model
@@ -66,9 +67,25 @@ class SAM2VideoPredictor:
         self.clear_non_cond_mem_around_input = clear_non_cond_mem_around_input
         self.add_all_frames_to_correct_as_cond = add_all_frames_to_correct_as_cond
         # Synchronize per-frame outputs before dispatching the next frame.
-        # Costs a little pipelining but bounds the async dispatch queue (some
-        # remote-attached TPU backends fail with deep in-flight queues).
-        self.sync_per_frame = True
+        # Costs pipelining (dispatch of frame t+1 could overlap the fetch of
+        # mask t), but bounds the async dispatch queue — required on
+        # remote-attached relay backends (axon), which fail under deep
+        # in-flight queues. Default: sync only on such backends; healthy
+        # local backends pipeline. Override via kwarg or
+        # SAM2_TPU_SYNC_PER_FRAME=0/1.
+        if sync_per_frame is None:
+            import os as _os
+
+            env = _os.environ.get("SAM2_TPU_SYNC_PER_FRAME")
+            if env is not None:
+                sync_per_frame = env not in ("0", "false", "False")
+            else:
+                try:
+                    platform = jax.devices()[0].platform
+                except Exception:
+                    platform = "cpu"
+                sync_per_frame = platform not in ("cpu", "tpu", "gpu")
+        self.sync_per_frame = sync_per_frame
         # video predictors binarize click-frame masks for the memory encoder
         # (reference build_sam.py:110-131 override)
         if not self.cfg.binarize_mask_from_pts_for_mem_enc:
@@ -782,12 +799,17 @@ class SAM2VideoPredictor:
                     prev_sam_mask_logits, batch_size,
                 )
             except Exception as e:  # pragma: no cover - backend flake path
+                # Only relay-backend flake signatures are retried.
+                # INVALID_ARGUMENT / FAILED_PRECONDITION alone are XLA's
+                # programming-error codes and re-raise immediately (a real
+                # shape/dtype bug must not turn into 20s of sleeps).
                 msg = str(e)
                 transient = (
                     "TPU backend error" in msg
-                    or "INVALID_ARGUMENT" in msg
-                    or "FAILED_PRECONDITION" in msg
                     or "UNAVAILABLE" in msg
+                    or "Socket closed" in msg
+                    or "Connection reset" in msg
+                    or "DEADLINE_EXCEEDED" in msg
                 )
                 if not transient:
                     raise

@@ -1,16 +1,21 @@
 """VOS training data pipeline.
 
 Re-design of sam2/training/dataset/ (vos_raw_dataset.py, vos_sampler.py,
-vos_dataset.py, transforms.py, utils/data_utils.py): raw dataset readers
-(DAVIS/PNG folder layout and SA-V per-object layout), frame samplers, video
-augmentations (hflip / temporal reversal / color jitter / affine-free resize),
-max-object subsampling, and batching into dense arrays for the jit'd training
-step. All host-side numpy (the device work is the compiled train step).
+vos_dataset.py, vos_segment_loader.py, transforms.py, utils/data_utils.py):
+raw dataset readers (DAVIS/PNG folder layout, SA-V per-object layout, SA-V
+JSON/RLE manifests), segment loaders (palettised PNG, per-object PNG, COCO
+RLE with a pure-numpy codec — no pycocotools in this environment), frame
+samplers, video augmentations (hflip / temporal reversal / color jitter /
+grayscale / affine), repeat-factor multiplier, max-object subsampling, and
+batching into dense arrays for the jit'd training step. All host-side numpy
+(the device work is the compiled train step).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import glob as _glob
+import json
 import os
 import random
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
@@ -18,11 +23,199 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 
+# --------------------------------------------------------------------- #
+# COCO RLE codec (pure numpy; reference decodes SA-V manifests with
+# pycocotools — vos_segment_loader.py:17-19,70-73)
+# --------------------------------------------------------------------- #
+
+def _leb_decode_counts(s) -> List[int]:
+    """Decode COCO's compressed LEB128-style counts string."""
+    if isinstance(s, str):
+        s = s.encode("ascii")
+    counts: List[int] = []
+    i = 0
+    n = len(s)
+    while i < n:
+        x = 0
+        k = 0
+        more = True
+        while more:
+            c = s[i] - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            i += 1
+            k += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * k)
+        if len(counts) > 2:
+            x += counts[-2]
+        counts.append(x)
+    return counts
+
+
+def _leb_encode_counts(counts: Sequence[int]) -> str:
+    """Inverse of _leb_decode_counts (for tests / mask export)."""
+    out = bytearray()
+    for i, x in enumerate(counts):
+        if i > 2:
+            x -= counts[i - 2]
+        more = True
+        while more:
+            c = x & 0x1F
+            x >>= 5
+            more = (x != -1 if (c & 0x10) else x != 0)
+            if more:
+                c |= 0x20
+            out.append(c + 48)
+    return out.decode("ascii")
+
+
+def decode_coco_rle(rle: Dict) -> np.ndarray:
+    """{"size": [H, W], "counts": str|bytes|list} -> bool [H, W].
+    Runs are column-major (Fortran order) starting with background."""
+    h, w = rle["size"]
+    counts = rle["counts"]
+    if isinstance(counts, (str, bytes)):
+        counts = _leb_decode_counts(counts)
+    flat = np.zeros(h * w, bool)
+    pos = 0
+    val = False
+    for c in counts:
+        if val:
+            flat[pos : pos + c] = True
+        pos += c
+        val = not val
+    return flat.reshape((w, h)).T  # column-major
+
+
+def encode_coco_rle(mask: np.ndarray) -> Dict:
+    """bool [H, W] -> compressed COCO RLE dict."""
+    h, w = mask.shape
+    flat = np.asarray(mask, bool).T.reshape(-1)  # column-major
+    change = np.flatnonzero(flat[1:] != flat[:-1]) + 1
+    bounds = np.concatenate([[0], change, [flat.size]])
+    counts = np.diff(bounds).tolist()
+    if flat.size and flat[0]:
+        counts = [0] + counts
+    return {"size": [h, w], "counts": _leb_encode_counts(counts)}
+
+
+# --------------------------------------------------------------------- #
+# segment loaders (reference vos_segment_loader.py)
+# --------------------------------------------------------------------- #
+
+class PalettisedPNGSegmentLoader:
+    """Masks stored as one palettised PNG per frame; pixel value = object id
+    (reference PalettisedPNGSegmentLoader :103-148)."""
+
+    def __init__(self, video_png_root: str):
+        self.root = video_png_root
+        self.frame_id_to_png = {}
+        for fn in os.listdir(video_png_root):
+            stem, ext = os.path.splitext(fn)
+            if ext.lower() == ".png":
+                self.frame_id_to_png[int(stem)] = os.path.join(
+                    video_png_root, fn
+                )
+
+    def load(self, frame_id: int) -> Dict[int, np.ndarray]:
+        from PIL import Image
+
+        arr = np.asarray(Image.open(self.frame_id_to_png[frame_id]).convert("P"))
+        return {
+            int(v): arr == v for v in np.unique(arr) if v != 0
+        }
+
+
+class MultiplePNGSegmentLoader:
+    """SA-V layout: one binary PNG per object per frame under
+    <video>/<obj_id>/<frame:05d>.png; missing file = empty mask
+    (reference MultiplePNGSegmentLoader :151-227). Object ids are offset by
+    1 (background is 0)."""
+
+    def __init__(self, video_png_root: str):
+        self.root = video_png_root
+        sample = _glob.glob(os.path.join(video_png_root, "*", "*.png"))
+        assert sample, f"no per-object masks under {video_png_root}"
+        from PIL import Image
+
+        first = np.asarray(Image.open(sample[0]))
+        self.H, self.W = first.shape[:2]
+        self.obj_dirs = sorted(
+            d for d in _glob.glob(os.path.join(video_png_root, "*"))
+            if os.path.isdir(d)
+        )
+
+    def load(self, frame_id: int) -> Dict[int, np.ndarray]:
+        from PIL import Image
+
+        out = {}
+        for d in self.obj_dirs:
+            obj_id = int(os.path.basename(d)) + 1  # bg is 0
+            path = os.path.join(d, f"{frame_id:05d}.png")
+            if os.path.exists(path):
+                out[obj_id] = np.asarray(Image.open(path)) > 0
+            else:
+                out[obj_id] = np.zeros((self.H, self.W), bool)
+        return out
+
+
+class JSONSegmentLoader:
+    """SA-V manifest: <video>.json with per-frame lists of COCO RLEs
+    ("masklet" field), annotated every `ann_every` frames (6 fps annotations
+    on 24 fps video -> ann_every=4; reference JSONSegmentLoader :23-101)."""
+
+    def __init__(self, video_json_path: str, ann_every: int = 1,
+                 frames_fps: int = 24):
+        self.ann_every = ann_every
+        with open(video_json_path) as f:
+            data = json.load(f)
+        if isinstance(data, list):
+            self.frame_annots = data
+        else:
+            field = "masklet" if "masklet" in data else "masks"
+            self.frame_annots = data[field]
+            if "fps" in data:
+                fps = data["fps"]
+                ann_fps = int(fps[0] if isinstance(fps, list) else fps)
+                assert frames_fps % ann_fps == 0
+                self.ann_every = frames_fps // ann_fps
+
+    def load(self, frame_id: int,
+             obj_ids: Optional[Sequence[int]] = None) -> Dict[int, np.ndarray]:
+        assert frame_id % self.ann_every == 0
+        rles = self.frame_annots[frame_id // self.ann_every]
+        ids = range(len(rles)) if obj_ids is None else obj_ids
+        out = {}
+        for oid in ids:
+            rle = rles[oid] if oid < len(rles) else None
+            if rle is not None:
+                out[int(oid)] = decode_coco_rle(rle)
+        return out
+
+    def get_valid_obj_frames_ids(self, num_frames_min: Optional[int] = None):
+        """Per-object list of annotated frame ids with a non-None mask
+        (reference :83-101)."""
+        num_objects = len(self.frame_annots[0])
+        res = {oid: [] for oid in range(num_objects)}
+        for ann_idx, annot in enumerate(self.frame_annots):
+            for oid in range(num_objects):
+                if annot[oid] is not None:
+                    res[oid].append(int(ann_idx * self.ann_every))
+        if num_frames_min is not None:
+            for oid, frames in list(res.items()):
+                if len(frames) < num_frames_min:
+                    res.pop(oid)
+        return res
+
+
 @dataclasses.dataclass
 class VOSVideo:
     video_name: str
-    frames: List[str]          # image paths
-    masks: Optional[List[str]]  # annotation paths (palette pngs) or None
+    frames: List[str]           # image paths (aligned with frame_ids)
+    masks: Optional[List[str]]  # palette png paths per frame, or None
+    segment_loader: Optional[object] = None  # used when masks is None
+    frame_ids: Optional[List[int]] = None    # underlying id per frame entry
 
 
 class VOSRawDataset:
@@ -71,13 +264,17 @@ class PNGRawDataset(VOSRawDataset):
 
 
 class SAVRawDataset(VOSRawDataset):
-    """SA-V layout: JPEGImages_24fps/<video>/<frame>.jpg +
-    Annotations_6fps/<video>/<obj>/<frame>.png (reference SA1BRawDataset /
-    SAVRawDataset family)."""
+    """SA-V layout: JPEGImages_24fps/<video>/<frame>.jpg with annotations as
+    either per-object PNG trees (Annotations_6fps/<video>/<obj>/<frame>.png)
+    or per-video JSON/RLE manifests (<ann_root>/<video>.json). Annotations
+    run at 6 fps on 24 fps frames, so only every `ann_every`-th frame is
+    sampled (reference JSONRawDataset/vos_segment_loader.py family)."""
 
-    def __init__(self, sav_root: str):
+    def __init__(self, sav_root: str, ann_every: int = 4):
         self.img_root = os.path.join(sav_root, "JPEGImages_24fps")
         self.ann_root = os.path.join(sav_root, "Annotations_6fps")
+        self.json_root = sav_root
+        self.ann_every = ann_every
         self.video_names = sorted(os.listdir(self.img_root))
 
     def __len__(self):
@@ -86,11 +283,26 @@ class SAVRawDataset(VOSRawDataset):
     def get_video(self, idx: int) -> VOSVideo:
         name = self.video_names[idx]
         vdir = os.path.join(self.img_root, name)
-        frames = sorted(
-            os.path.join(vdir, p) for p in os.listdir(vdir)
-            if p.lower().endswith(".jpg")
+        all_frames = sorted(
+            p for p in os.listdir(vdir) if p.lower().endswith(".jpg")
         )
-        return VOSVideo(name, frames, None)  # per-object masks loaded lazily
+        # keep only annotated frames (every ann_every-th at 24->6 fps)
+        frames, frame_ids = [], []
+        for p in all_frames:
+            fid = int(os.path.splitext(p)[0])
+            if fid % self.ann_every == 0:
+                frames.append(os.path.join(vdir, p))
+                frame_ids.append(fid)
+
+        loader = None
+        png_dir = os.path.join(self.ann_root, name)
+        json_path = os.path.join(self.json_root, f"{name}.json")
+        if os.path.isdir(png_dir):
+            loader = MultiplePNGSegmentLoader(png_dir)
+        elif os.path.exists(json_path):
+            loader = JSONSegmentLoader(json_path, ann_every=self.ann_every)
+        return VOSVideo(name, frames, None, segment_loader=loader,
+                        frame_ids=frame_ids)
 
 
 @dataclasses.dataclass
@@ -145,6 +357,93 @@ def _load_mask(path: str, size: int) -> np.ndarray:
     return np.asarray(img)
 
 
+def _resize_mask_bool(mask: np.ndarray, size: int) -> np.ndarray:
+    from PIL import Image
+
+    if mask.shape[0] == size and mask.shape[1] == size:
+        return mask.astype(bool)
+    img = Image.fromarray(mask.astype(np.uint8) * 255)
+    return np.asarray(img.resize((size, size), Image.NEAREST)) > 127
+
+
+class VideoAugmentations:
+    """Per-video consistent photometric + geometric augmentations (reference
+    training/dataset/transforms.py: ColorJitter, RandomGrayscale,
+    RandomAffine, RandomHorizontalFlip — 528 LoC of torchvision-v2 video
+    transforms re-done in PIL/numpy). One parameter draw per video, applied
+    to every frame, nearest-resampled for masks."""
+
+    def __init__(self, hflip_prob: float = 0.5, color_jitter_prob: float = 0.8,
+                 brightness: float = 0.1, contrast: float = 0.03,
+                 saturation: float = 0.03, grayscale_prob: float = 0.05,
+                 affine_prob: float = 0.0, degrees: float = 25.0,
+                 shear: float = 20.0):
+        self.hflip_prob = hflip_prob
+        self.color_jitter_prob = color_jitter_prob
+        self.brightness = brightness
+        self.contrast = contrast
+        self.saturation = saturation
+        self.grayscale_prob = grayscale_prob
+        self.affine_prob = affine_prob
+        self.degrees = degrees
+        self.shear = shear
+
+    def __call__(self, images: np.ndarray, masks: np.ndarray, rng):
+        """images [T,S,S,3] uint8, masks [T,N,S,S] bool -> same shapes."""
+        from PIL import Image, ImageEnhance
+
+        if rng.random() < self.hflip_prob:
+            images = images[:, :, ::-1].copy()
+            masks = masks[:, :, :, ::-1].copy()
+
+        if rng.random() < self.color_jitter_prob:
+            b = 1.0 + rng.uniform(-self.brightness, self.brightness)
+            c = 1.0 + rng.uniform(-self.contrast, self.contrast)
+            s = 1.0 + rng.uniform(-self.saturation, self.saturation)
+            frames = []
+            for t in range(images.shape[0]):
+                im = Image.fromarray(images[t])
+                im = ImageEnhance.Brightness(im).enhance(b)
+                im = ImageEnhance.Contrast(im).enhance(c)
+                im = ImageEnhance.Color(im).enhance(s)
+                frames.append(np.asarray(im))
+            images = np.stack(frames)
+
+        if rng.random() < self.grayscale_prob:
+            gray = (
+                images.astype(np.float32) @ np.asarray([0.299, 0.587, 0.114])
+            ).astype(np.uint8)
+            images = np.repeat(gray[..., None], 3, axis=-1)
+
+        if self.affine_prob > 0 and rng.random() < self.affine_prob:
+            angle = rng.uniform(-self.degrees, self.degrees)
+            shear_x = rng.uniform(-self.shear, self.shear)
+            frames, mframes = [], []
+            for t in range(images.shape[0]):
+                im = Image.fromarray(images[t]).rotate(
+                    angle, Image.BILINEAR
+                ).transform(
+                    images[t].shape[:2][::-1], Image.AFFINE,
+                    (1, np.tan(np.radians(shear_x)), 0, 0, 1, 0),
+                    Image.BILINEAR,
+                )
+                frames.append(np.asarray(im))
+                ms = []
+                for n in range(masks.shape[1]):
+                    m = Image.fromarray(
+                        masks[t, n].astype(np.uint8) * 255
+                    ).rotate(angle, Image.NEAREST).transform(
+                        masks[t, n].shape[::-1], Image.AFFINE,
+                        (1, np.tan(np.radians(shear_x)), 0, 0, 1, 0),
+                        Image.NEAREST,
+                    )
+                    ms.append(np.asarray(m) > 127)
+                mframes.append(np.stack(ms))
+            images = np.stack(frames)
+            masks = np.stack(mframes)
+        return images, masks
+
+
 class VOSDataset:
     """Raw dataset + sampler + augmentation -> per-video training sample
     (reference vos_dataset.py:27). Yields dicts of dense numpy arrays:
@@ -152,20 +451,47 @@ class VOSDataset:
       images   [T, S, S, 3] uint8
       masks    [T, N_obj, S, S] bool  (padded to max_num_objects)
       obj_valid [N_obj] bool
+
+    `multiplier` is the reference's repeat-factor (vos_dataset.py:43-44):
+    each raw video appears `multiplier` times per epoch.
     """
 
     def __init__(self, raw_dataset: VOSRawDataset, sampler,
                  image_size: int = 1024, max_num_objects: int = 3,
-                 hflip_prob: float = 0.5, seed: int = 0):
+                 hflip_prob: float = 0.5, seed: int = 0,
+                 transforms: Optional[VideoAugmentations] = None,
+                 multiplier: int = 1):
         self.raw = raw_dataset
         self.sampler = sampler
         self.image_size = image_size
         self.max_num_objects = max_num_objects
-        self.hflip_prob = hflip_prob
+        self.transforms = (
+            transforms if transforms is not None
+            else VideoAugmentations(hflip_prob=hflip_prob)
+        )
+        if transforms is None and hflip_prob == 0.0:
+            # back-compat: hflip_prob=0 historically meant "no augmentation"
+            self.transforms = VideoAugmentations(
+                hflip_prob=0.0, color_jitter_prob=0.0, grayscale_prob=0.0,
+            )
+        self.multiplier = max(int(multiplier), 1)
         self.rng = random.Random(seed)
 
     def __len__(self):
-        return len(self.raw)
+        return len(self.raw) * self.multiplier
+
+    def _load_frame_segments(self, video: VOSVideo, frame_indices) -> List[Dict]:
+        """Per sampled frame: {obj_id: bool mask at native res}."""
+        if video.masks is not None:
+            out = []
+            for i in frame_indices:
+                m = _load_mask(video.masks[i], self.image_size)
+                out.append({int(v): m == v for v in np.unique(m) if v > 0})
+            return out
+        if video.segment_loader is not None:
+            ids = video.frame_ids or list(range(len(video.frames)))
+            return [video.segment_loader.load(ids[i]) for i in frame_indices]
+        return [{} for _ in frame_indices]
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         video = self.raw.get_video(idx % len(self.raw))
@@ -178,24 +504,17 @@ class VOSDataset:
         N = self.max_num_objects
         masks = np.zeros((T, N, S, S), bool)
         obj_valid = np.zeros((N,), bool)
-        if video.masks is not None:
-            # collect object ids across the sampled frames
-            id_masks = [
-                _load_mask(video.masks[i], S) for i in sampled.frame_indices
-            ]
-            obj_ids = sorted(
-                set(int(v) for m in id_masks for v in np.unique(m) if v > 0)
-            )
-            self.rng.shuffle(obj_ids)
-            obj_ids = obj_ids[:N]
-            for j, oid in enumerate(obj_ids):
-                obj_valid[j] = True
-                for t, m in enumerate(id_masks):
-                    masks[t, j] = m == oid
+        segments = self._load_frame_segments(video, sampled.frame_indices)
+        obj_ids = sorted({oid for seg in segments for oid in seg})
+        self.rng.shuffle(obj_ids)
+        obj_ids = obj_ids[:N]
+        for j, oid in enumerate(obj_ids):
+            obj_valid[j] = True
+            for t, seg in enumerate(segments):
+                if oid in seg:
+                    masks[t, j] = _resize_mask_bool(seg[oid], S)
 
-        if self.rng.random() < self.hflip_prob:
-            images = images[:, :, ::-1].copy()
-            masks = masks[:, :, :, ::-1].copy()
+        images, masks = self.transforms(images, masks, self.rng)
         return {"images": images, "masks": masks, "obj_valid": obj_valid,
                 "video_name": video.video_name}
 

@@ -208,14 +208,24 @@ def forward_tracking(
     use_mask_input: bool = False,
     num_correction_clicks: int = 1,
     use_remat: bool = True,
+    frames_to_add_correction_pt: Tuple[int, ...] = (),
 ):
-    """`use_box_input` / `use_mask_input` select the initial prompt form;
-    the trainer samples them per step from prob_to_use_pt_input /
-    prob_to_use_box_input (reference model/sam2.py:146-267) — static per
-    compiled variant."""
     """Simulated interactive tracking over T frames (reference
-    model/sam2.py:269-447 forward_tracking + track_step). Returns per-frame
-    lists of (high-res multimask logits, ious, object scores) for the loss."""
+    model/sam2.py:269-447 forward_tracking + track_step).
+
+    `use_box_input` / `use_mask_input` select the initial prompt form; the
+    trainer samples them per step from prob_to_use_pt_input /
+    prob_to_use_box_input (reference model/sam2.py:146-267) — static per
+    compiled variant. `frames_to_add_correction_pt` lists EXTRA (non-init)
+    tracked frames that receive iterative correction clicks (reference
+    `frames_to_add_correction_pt`, model/sam2.py:255-265 + 405-447); init
+    frames always get them under point input. Every correction step's
+    outputs are supervised (reference _iter_correct_pt_sampling appends all
+    steps to the multistep lists).
+
+    Returns per-frame LISTS-of-steps of (high-res multimask logits, ious,
+    object scores) plus per-frame targets for the loss.
+    """
     T = images.shape[0]
     B = gt_masks.shape[1]
     S = cfg.image_size
@@ -275,10 +285,21 @@ def forward_tracking(
         else:
             outs = sam_step(coords, labels)
         (low_mm, high_mm, ious, low_res, high_res, obj_ptr, obj_score) = outs
+        step_masks = [high_mm]
+        step_ious = [ious]
+        step_scores = [obj_score]
 
-        # iterative correction clicks on init frames (reference
-        # _iter_correct_pt_sampling :448-529)
-        if is_init and not use_mask_input and num_correction_clicks > 0:
+        # iterative correction clicks (reference _iter_correct_pt_sampling
+        # :448-529): on init frames under point input, AND on any tracked
+        # frame listed in frames_to_add_correction_pt (for those, the SAM
+        # heads re-run on the memory-conditioned features with the previous
+        # tracking logits as the mask prompt — model/sam2.py:405-447). Every
+        # step is appended for loss supervision.
+        correct_here = (
+            (is_init and not use_mask_input)
+            or (not is_init and t in frames_to_add_correction_pt)
+        )
+        if correct_here and num_correction_clicks > 0:
             for _ in range(num_correction_clicks):
                 rng, kc = jax.random.split(rng)
                 pred_bin = high_res > 0
@@ -291,10 +312,13 @@ def forward_tracking(
                 outs = sam_step(coords, labels, mask_prompt)
                 (low_mm, high_mm, ious, low_res, high_res, obj_ptr,
                  obj_score) = outs
+                step_masks.append(high_mm)
+                step_ious.append(ious)
+                step_scores.append(obj_score)
 
-        outs_masks.append(high_mm)
-        outs_ious.append(ious)
-        outs_scores.append(obj_score)
+        outs_masks.append(step_masks)
+        outs_ious.append(step_ious)
+        outs_scores.append(step_scores)
         target_list.append(gt_t)
 
         # encode this frame into memory for the next frames
@@ -320,7 +344,9 @@ def forward_tracking(
 def video_train_loss(params, cfg: SAM2Config, images, gt_masks, rng,
                      **kwargs):
     """Scalar training loss over one video (multistep multimask loss across
-    frames, reference loss_fns.py:126 MultiStepMultiMasksAndIous)."""
+    frames, reference loss_fns.py:126 MultiStepMultiMasksAndIous). Every
+    correction step of every frame is supervised, matching the reference's
+    multistep lists."""
     masks, ious, scores, targets = forward_tracking(
         params, cfg, images, gt_masks, rng, **kwargs
     )
@@ -330,7 +356,7 @@ def video_train_loss(params, cfg: SAM2Config, images, gt_masks, rng,
     for m, i, s, tgt in zip(masks, ious, scores, targets):
         tgt_hr = tgt.astype(jnp.float32)
         ld = L.multistep_multimasks_and_ious(
-            [m], [i], [s], tgt_hr, float(B),
+            m, i, s, tgt_hr, float(B),
             pred_obj_scores=cfg.pred_obj_scores,
         )
         total = total + ld["core_loss"]

@@ -35,9 +35,26 @@ def main():
     parser.add_argument("--checkpoint-dir", default="checkpoints_train")
     parser.add_argument("--freeze-image-encoder", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--dp", type=int, default=0,
+                        help="data-parallel mesh size (0 = no mesh, "
+                             "single device; -1 = all devices)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel mesh size (shards the big "
+                             "trunk linears over the 'model' axis)")
     args = parser.parse_args()
 
+    import os
+
     import jax
+
+    # multi-host rendezvous (reference sets MASTER_ADDR/RANK via submitit,
+    # train.py:81-85; on TPU pods jax.distributed reads the TPU env or these)
+    if int(os.environ.get("JAX_PROCESS_COUNT", "1")) > 1:
+        jax.distributed.initialize(
+            coordinator_address=os.environ.get("JAX_COORDINATOR_ADDRESS"),
+            num_processes=int(os.environ["JAX_PROCESS_COUNT"]),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+        )
 
     from sam2_opt_tpu.config import model_config
     from sam2_opt_tpu.io.checkpoints import build_from_any
@@ -48,6 +65,13 @@ def main():
         data_loader,
     )
     from sam2_opt_tpu.training.trainer import TrainConfig, Trainer
+
+    mesh = None
+    if args.dp:
+        from sam2_opt_tpu.parallel import mesh as mesh_lib
+
+        dp = args.dp if args.dp > 0 else jax.device_count() // args.tp
+        mesh = mesh_lib.make_mesh(dp=dp, tp=args.tp)
 
     overrides = {}
     if args.image_size:
@@ -68,7 +92,12 @@ def main():
         freeze_image_encoder=args.freeze_image_encoder,
         seed=args.seed,
     )
-    trainer = Trainer(cfg, params, tcfg)
+    trainer = Trainer(cfg, params, tcfg, mesh=mesh)
+    if mesh is not None and args.batch_size % mesh.shape["data"] != 0:
+        parser.error(
+            f"--batch-size {args.batch_size} must be divisible by "
+            f"dp={mesh.shape['data']}"
+        )
 
     raw = PNGRawDataset(args.img_folder, args.gt_folder)
     ds = VOSDataset(

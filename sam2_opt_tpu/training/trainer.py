@@ -55,6 +55,9 @@ class TrainConfig:
     prob_to_use_pt_input: float = 0.5
     prob_to_use_box_input: float = 0.5
     max_init_cond_frames: int = 1
+    # total frames receiving correction clicks (init frames + random tracked
+    # frames; reference num_frames_to_correct_for_train, model/sam2.py:36)
+    num_frames_to_correct: int = 1
     log_dir: str = "logs"
     checkpoint_dir: str = "checkpoints_train"
     save_freq_epochs: int = 1
@@ -91,8 +94,16 @@ class Trainer:
                  mesh=None):
         self.cfg = model_cfg
         self.tcfg = train_cfg
-        self.params = params
         self.mesh = mesh
+        if mesh is not None:
+            # place params on the mesh under the TP rule (DP replicates);
+            # XLA inserts the gradient all-reduces DDP provided in the
+            # reference (trainer.py:291-311)
+            from sam2_opt_tpu.parallel import mesh as mesh_lib
+
+            params = mesh_lib.shard_params(mesh, params)
+            self._data_sharding = mesh_lib.data_sharded(mesh, 1)
+        self.params = params
         trunk_depth = model_cfg.trunk.depth
         self.optimizer = build_optimizer(
             params,
@@ -116,7 +127,8 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
 
-    def _build_step(self, use_box=False, use_mask=False, n_init=1):
+    def _build_step(self, use_box=False, use_mask=False, n_init=1,
+                    correct_frames=()):
         cfg = self.cfg
         tcfg = self.tcfg
         optimizer = self.optimizer
@@ -124,40 +136,62 @@ class Trainer:
 
         def loss_fn(params, images, masks, rng):
             B = images.shape[0]
-            total = 0.0
-            aux_sum = None
             keys = jax.random.split(rng, B)
-            for b in range(B):
-                loss, aux = sam2_train.video_train_loss(
-                    params, cfg, images[b], masks[b], keys[b],
+
+            def one_video(img, msk, key):
+                return sam2_train.video_train_loss(
+                    params, cfg, img, msk, key,
                     num_correction_clicks=tcfg.num_correction_clicks,
                     use_box_input=use_box,
                     use_mask_input=use_mask,
                     num_init_cond_frames=n_init,
+                    frames_to_add_correction_pt=correct_frames,
                 )
-                total = total + loss
-                aux_sum = aux if aux_sum is None else {
-                    k: aux_sum[k] + v for k, v in aux.items()
-                }
-            return total / B, aux_sum
+
+            # vmap over the video batch (the reference python-loops videos;
+            # vmap compiles ONE batched rollout instead of B copies)
+            losses, auxs = jax.vmap(one_video)(images, masks, keys)
+            return jnp.mean(losses), {k: jnp.mean(v) for k, v in auxs.items()}
 
         def step(params, opt_state, images, masks, rng, lr):
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, images, masks, rng
             )
             if frozen_encoder:
+                # zero grads so the frozen block doesn't inflate the global
+                # clip norm or move adam moments ...
                 grads = dict(grads)
                 grads["image_encoder"] = jax.tree_util.tree_map(
                     jnp.zeros_like, grads["image_encoder"]
                 )
             updates, opt_state = optimizer.update(grads, opt_state, params, lr)
+            if frozen_encoder:
+                # ... AND zero the final updates: add_decayed_weights adds
+                # wd*param regardless of grads, which would shrink "frozen"
+                # encoder weights every step (reference freezes via
+                # requires_grad=False, model/sam2.py:103-105)
+                updates = dict(updates)
+                updates["image_encoder"] = jax.tree_util.tree_map(
+                    jnp.zeros_like, updates["image_encoder"]
+                )
             import optax
 
             params = optax.apply_updates(params, updates)
             metrics = {"loss": loss, **{k: v for k, v in (aux or {}).items()}}
             return params, opt_state, metrics
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        if self.mesh is None:
+            return jax.jit(step, donate_argnums=(0, 1))
+        # batch sharded over "data"; params/opt_state keep their committed
+        # (TP-ruled) placements; XLA all-reduces grads over the mesh
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data5 = NamedSharding(self.mesh, P("data", None, None, None, None))
+        return jax.jit(
+            step,
+            donate_argnums=(0, 1),
+            in_shardings=(None, None, data5, data5, None, None),
+        )
 
     # ------------------------------------------------------------------ #
 
@@ -234,6 +268,13 @@ class Trainer:
             ).transpose(0, 1, 2, 3, 4) / 255.0
             masks = jnp.asarray(batch["masks"])
             # [B, T, N, S, S] -> per-video [T, N, S, S] handled in loss
+            T = images.shape[1]
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                sh = NamedSharding(self.mesh, P("data"))
+                images = jax.device_put(images, sh)
+                masks = jax.device_put(masks, sh)
             self._rng, key = jax.random.split(self._rng)
             where = self.steps / max(total_steps, 1)
             lr = jnp.asarray(self.optimizer.lr_at(where), jnp.float32)
@@ -245,10 +286,21 @@ class Trainer:
                 self._pyrng.random() < self.tcfg.prob_to_use_box_input
             )
             n_init = self._pyrng.randint(1, max(self.tcfg.max_init_cond_frames, 1))
-            skey = (use_box, use_mask, n_init)
+            # extra tracked frames receiving correction clicks (reference
+            # frames_to_add_correction_pt, model/sam2.py:255-265); only under
+            # point input, like the reference (mask input -> no clicks)
+            extra = max(self.tcfg.num_frames_to_correct - n_init, 0)
+            correct_frames = ()
+            if not use_mask and extra > 0 and T > n_init:
+                pool = list(range(n_init, T))
+                correct_frames = tuple(
+                    sorted(self._pyrng.sample(pool, min(extra, len(pool))))
+                )
+            skey = (use_box, use_mask, n_init, correct_frames)
             step_fn = self._step_fns.get(skey)
             if step_fn is None:
-                step_fn = self._build_step(use_box, use_mask, n_init)
+                step_fn = self._build_step(use_box, use_mask, n_init,
+                                           correct_frames)
                 self._step_fns[skey] = step_fn
 
             t0 = time.time()
@@ -272,21 +324,37 @@ class Trainer:
             t_data = time.time()
         return loss_meter.avg
 
+    def _build_val_fn(self):
+        """Compiled batched val loss (the reference runs val eagerly per
+        sample — unusably slow at 1024²; here it's one vmapped jit graph)."""
+        cfg = self.cfg
+
+        def val_loss(params, images, masks, rng):
+            keys = jax.random.split(rng, images.shape[0])
+
+            def one(img, msk, key):
+                loss, _ = sam2_train.video_train_loss(
+                    params, cfg, img, msk, key, num_correction_clicks=0,
+                )
+                return loss
+
+            return jnp.mean(jax.vmap(one)(images, masks, keys))
+
+        return jax.jit(val_loss)
+
     def val_epoch(self, loader):
         """Forward-only validation loss (reference val_epoch :583-650)."""
-        cfg = self.cfg
         loss_meter = AverageMeter("val_loss", fmt=":.4f")
+        val_fn = self._step_fns.get("val")
+        if val_fn is None:
+            val_fn = self._build_val_fn()
+            self._step_fns["val"] = val_fn
         for batch in loader:
             images = jnp.asarray(batch["images"], jnp.float32) / 255.0
             masks = jnp.asarray(batch["masks"])
             self._rng, key = jax.random.split(self._rng)
-            B = images.shape[0]
-            for b in range(B):
-                loss, _ = sam2_train.video_train_loss(
-                    self.params, cfg, images[b], masks[b], key,
-                    num_correction_clicks=0,
-                )
-                loss_meter.update(float(loss))
+            loss_meter.update(float(val_fn(self.params, images, masks, key)),
+                              n=images.shape[0])
         self.tb.log("val/loss", loss_meter.avg, self.steps)
         if loss_meter.avg < self.best_val_loss:
             self.best_val_loss = loss_meter.avg

@@ -1,5 +1,10 @@
 """AMG (automatic mask generation) utilities, numpy host-side.
 
+Adapted from Meta's SAM2 / segment-anything `sam2/sam2/utils/amg.py`
+(Apache-2.0; see LICENSES/LICENSE_SAM2_APACHE2): the MaskData columnar
+store, uncompressed-RLE codec and AMG geometry keep the upstream
+structure and semantics for format compatibility.
+
 Re-design of sam2/sam2/utils/amg.py: MaskData columnar store, pycoco-style
 uncompressed RLE codec, stability score, point grids, crop boxes, box/points
 uncropping, batched mask->box, plus a self-contained box NMS (the reference

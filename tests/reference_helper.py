@@ -99,9 +99,11 @@ def setup_reference():
     _initialized = True
 
 
-def build_torch_sam2(variant: str = "hiera_t", seed: int = 0):
-    """Instantiate the reference SAM2Base with random (seeded) weights on CPU,
-    mirroring configs/sam2.1/sam2.1_hiera_*.yaml without hydra."""
+def build_torch_sam2(variant: str = "hiera_t", seed: int = 0, cls=None,
+                     extra_kwargs=None):
+    """Instantiate the reference SAM2Base (or a subclass via `cls`, e.g.
+    SAM2VideoPredictor) with random (seeded) weights on CPU, mirroring
+    configs/sam2.1/sam2.1_hiera_*.yaml without hydra."""
     setup_reference()
     import torch
 
@@ -192,7 +194,9 @@ def build_torch_sam2(variant: str = "hiera_t", seed: int = 0):
         ),
     )
 
-    model = SAM2Base(
+    model_cls = cls if cls is not None else SAM2Base
+    model = model_cls(
+        **(extra_kwargs or {}),
         image_encoder=image_encoder,
         memory_attention=memory_attention,
         memory_encoder=memory_encoder,
@@ -229,6 +233,22 @@ def build_torch_sam2(variant: str = "hiera_t", seed: int = 0):
     )
     model.eval()
     return model
+
+
+def build_torch_video_predictor(variant: str = "hiera_t", seed: int = 0,
+                                **predictor_kwargs):
+    """Reference SAM2VideoPredictor (official) on CPU with seeded weights and
+    the build_sam2_video_predictor overrides (reference build_sam.py:110-131:
+    binarize_mask_from_pts_for_mem_enc=True; fill_hole_area configurable)."""
+    setup_reference()
+    from sam2.sam2_video_predictor_official import SAM2VideoPredictor
+
+    predictor_kwargs.setdefault("fill_hole_area", 0)
+    extra = dict(predictor_kwargs)
+    extra["binarize_mask_from_pts_for_mem_enc"] = True
+    return build_torch_sam2(
+        variant, seed=seed, cls=SAM2VideoPredictor, extra_kwargs=extra
+    )
 
 
 def state_dict_numpy(model):

@@ -35,3 +35,45 @@ def test_flash_matches_sdpa(B, H, Sq, Skv, D, masked):
                           interpret=True)
     err = float(jnp.max(jnp.abs(out - ref)))
     assert err < 2e-5, err
+
+
+def test_window_kernel_matches_sdpa():
+    """kernels/window_attention.py (opt-in via SAM2_TPU_WINDOW_KERNEL=1)
+    must match SDPA on windowed shapes; run in Pallas interpret mode on CPU."""
+    from sam2_opt_tpu.kernels.window_attention import window_attention
+    from sam2_opt_tpu.ops.common import scaled_dot_product_attention
+
+    rng = np.random.default_rng(11)
+    N, S, D = 8, 64, 96
+    q = jnp.asarray(rng.standard_normal((N, S, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((N, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((N, S, D)), jnp.float32)
+    out = window_attention(q, k, v, interpret=True)
+    ref = scaled_dot_product_attention(q[:, None], k[:, None], v[:, None])[:, 0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_or_sdpa_window_flag(monkeypatch):
+    """The SAM2_TPU_WINDOW_KERNEL=1 dispatch path is wired and numerically
+    consistent with the default path."""
+    import sam2_opt_tpu.kernels.window_attention as wk
+    from sam2_opt_tpu.ops import common as ops
+
+    rng = np.random.default_rng(12)
+    B, H, S, D = 2, 2, 64, 32
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    base = ops.flash_or_sdpa(q, k, v)
+
+    orig = wk.window_attention
+    monkeypatch.setattr(
+        wk, "window_attention",
+        lambda *a, **kw: orig(*a, interpret=True, **kw),
+    )
+    monkeypatch.setenv("SAM2_TPU_WINDOW_KERNEL", "1")
+    monkeypatch.setenv("SAM2_TPU_FLASH", "1")
+    out = ops.flash_or_sdpa(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               rtol=2e-5, atol=2e-5)

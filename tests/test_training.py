@@ -2,6 +2,7 @@
 end-to-end tiny train step with checkpoint save/resume."""
 
 import os
+import random
 
 import numpy as np
 import pytest
@@ -133,3 +134,221 @@ def test_train_step_end_to_end(tmp_path, tiny128_cfg, tiny128_params):
     a = trainer2.params["no_obj_ptr"]
     b = trainer.params["no_obj_ptr"]
     assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_correction_clicks_on_tracked_frame(tiny128_cfg, tiny128_params):
+    """frames_to_add_correction_pt applies iterative clicks on a NON-init
+    frame (reference model/sam2.py:255-265, 405-447): that frame's output
+    list grows by num_correction_clicks supervised steps."""
+    import functools
+
+    from sam2_opt_tpu.training import sam2_train
+
+    cfg = tiny128_cfg
+    T = 2
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(rng.random((T, 128, 128, 3)), jnp.float32)
+    gt = np.zeros((T, 1, 128, 128), bool)
+    gt[:, :, 30:90, 40:100] = True
+
+    def fwd(correct_frames):
+        return jax.jit(functools.partial(
+            sam2_train.forward_tracking, tiny128_params, cfg,
+            num_init_cond_frames=1, num_correction_clicks=2,
+            frames_to_add_correction_pt=correct_frames, use_remat=False,
+        ))(images, jnp.asarray(gt), jax.random.PRNGKey(0))
+
+    masks, ious, scores, _ = fwd((1,))
+    assert len(masks) == T
+    assert len(masks[0]) == 3  # init frame: first step + 2 corrections
+    assert len(masks[1]) == 3  # tracked frame in the correction list
+    assert all(np.isfinite(np.asarray(i)).all() for i in ious[1])
+
+    # control: without the correction list the tracked frame has ONE step
+    masks2, *_ = fwd(())
+    assert len(masks2[1]) == 1
+
+
+def test_trainer_with_mesh(tmp_path, tiny128_cfg):
+    """Trainer wired to a real mesh (VERDICT r1 item #4): batch sharded on
+    "data", params under the TP rule, 2 steps on a fixed batch with the
+    loss decreasing."""
+    from sam2_opt_tpu.parallel import mesh as mesh_lib
+    from sam2_opt_tpu.training.trainer import TrainConfig, Trainer
+
+    cfg = tiny128_cfg
+    mesh = mesh_lib.make_mesh(dp=2, tp=1, devices=jax.devices("cpu")[:2])
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tcfg = TrainConfig(
+        num_epochs=1, batch_size=2, num_frames=2, max_num_objects=1,
+        checkpoint_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"),
+        num_correction_clicks=0, base_lr=1e-4,
+        prob_to_use_pt_input=1.0, prob_to_use_box_input=0.0,
+    )
+    trainer = Trainer(cfg, params, tcfg, mesh=mesh)
+    # params were placed under the TP rule
+    shardings = mesh_lib.param_shardings(mesh, trainer.params)
+    for leaf, s in zip(
+        jax.tree_util.tree_leaves(trainer.params),
+        jax.tree_util.tree_leaves(shardings),
+    ):
+        assert leaf.sharding.is_equivalent_to(s, leaf.ndim)
+
+    rng = np.random.default_rng(5)
+    images = (rng.random((2, 2, 128, 128, 3)) * 255).astype(np.uint8)
+    masks = np.zeros((2, 2, 1, 128, 128), bool)
+    masks[:, :, :, 30:90, 40:100] = True
+    batch = {"images": images, "masks": masks}
+
+    losses = []
+    orig_update = trainer.train_epoch
+    for _ in range(2):
+        avg = trainer.train_epoch(iter([batch]), total_steps=2,
+                                  steps_per_epoch=1)
+        losses.append(avg)
+    assert all(np.isfinite(l) for l in losses), losses
+    assert losses[1] < losses[0], f"loss did not decrease: {losses}"
+
+
+def test_coco_rle_roundtrip():
+    from sam2_opt_tpu.training.data import decode_coco_rle, encode_coco_rle
+
+    rng = np.random.default_rng(0)
+    for shape in [(7, 5), (64, 48), (33, 33)]:
+        mask = rng.random(shape) > 0.6
+        rle = encode_coco_rle(mask)
+        assert isinstance(rle["counts"], str)
+        out = decode_coco_rle(rle)
+        assert out.shape == shape
+        assert (out == mask).all()
+    # uncompressed list counts also decode (column-major, bg first)
+    m = decode_coco_rle({"size": [2, 2], "counts": [1, 2, 1]})
+    assert (m == np.array([[False, True], [True, False]])).all()
+    # all-empty and all-full
+    assert not decode_coco_rle(encode_coco_rle(np.zeros((4, 4), bool))).any()
+    assert decode_coco_rle(encode_coco_rle(np.ones((4, 4), bool))).all()
+
+
+def _make_sav_tree(tmp_path, num_frames=8, size=48, json_manifest=False):
+    """Synthetic SA-V tree: 24fps JPEGs + 6fps annotations (every 4th frame)
+    as either per-object PNG dirs or a JSON/RLE manifest."""
+    import json as _json
+
+    from PIL import Image
+
+    from sam2_opt_tpu.training.data import encode_coco_rle
+
+    root = tmp_path / "sav"
+    vdir = root / "JPEGImages_24fps" / "sav_000001"
+    os.makedirs(vdir)
+    rng = np.random.default_rng(1)
+    for t in range(num_frames):
+        img = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(vdir / f"{t:05d}.jpg")
+
+    def obj_mask(obj, t):
+        m = np.zeros((size, size), bool)
+        m[8 * (obj + 1) : 8 * (obj + 2) + t, 4:40] = True
+        return m
+
+    ann_frames = [t for t in range(num_frames) if t % 4 == 0]
+    if json_manifest:
+        masklet = [
+            [encode_coco_rle(obj_mask(o, t)) for o in range(2)]
+            for t in ann_frames
+        ]
+        with open(root / "sav_000001.json", "w") as f:
+            _json.dump({"masklet": masklet, "fps": 6}, f)
+    else:
+        for o in range(2):
+            for t in ann_frames:
+                d = root / "Annotations_6fps" / "sav_000001" / f"{o:03d}"
+                os.makedirs(d, exist_ok=True)
+                Image.fromarray(
+                    obj_mask(o, t).astype(np.uint8) * 255
+                ).save(d / f"{t:05d}.png")
+    return str(root)
+
+
+@pytest.mark.parametrize("json_manifest", [False, True])
+def test_sav_dataset_loads_annotations(tmp_path, json_manifest):
+    """SAVRawDataset must yield videos WITH per-object supervision, from
+    both the per-object PNG tree and the JSON/RLE manifest (VERDICT r1 #5)."""
+    from sam2_opt_tpu.training.data import SAVRawDataset, VOSDataset
+
+    root = _make_sav_tree(tmp_path, json_manifest=json_manifest)
+    raw = SAVRawDataset(root)
+    assert len(raw) == 1
+    video = raw.get_video(0)
+    assert len(video.frames) == 2  # only annotated (every 4th) frames
+    assert video.frame_ids == [0, 4]
+    assert video.segment_loader is not None
+
+    ds = VOSDataset(raw, RandomUniformSampler(num_frames=2), image_size=48,
+                    max_num_objects=3, hflip_prob=0.0)
+    sample = ds[0]
+    assert sample["masks"].shape == (2, 3, 48, 48)
+    assert sample["obj_valid"][:2].all() and not sample["obj_valid"][2]
+    # supervision is non-empty and object-distinct
+    assert sample["masks"][0, 0].any() and sample["masks"][0, 1].any()
+    assert (sample["masks"][0, 0] != sample["masks"][0, 1]).any()
+
+
+def test_video_augmentations_consistency():
+    """Augs draw once per video: mask flips follow image flips; color jitter
+    never touches masks; shapes preserved."""
+    from sam2_opt_tpu.training.data import VideoAugmentations
+
+    rng = np.random.default_rng(2)
+    images = (rng.random((3, 32, 32, 3)) * 255).astype(np.uint8)
+    masks = np.zeros((3, 2, 32, 32), bool)
+    masks[:, 0, :, :16] = True
+
+    aug = VideoAugmentations(hflip_prob=1.0, color_jitter_prob=1.0,
+                             grayscale_prob=0.0, affine_prob=0.0)
+    out_img, out_masks = aug(images, masks, random.Random(0))
+    assert out_img.shape == images.shape and out_img.dtype == np.uint8
+    assert out_masks[:, 0, :, 16:].all() and not out_masks[:, 0, :, :16].any()
+
+    aug2 = VideoAugmentations(hflip_prob=0.0, color_jitter_prob=0.0,
+                              grayscale_prob=1.0)
+    g_img, g_masks = aug2(images, masks, random.Random(0))
+    assert (g_img[..., 0] == g_img[..., 1]).all()
+    assert (g_masks == masks).all()
+
+    aug3 = VideoAugmentations(hflip_prob=0.0, color_jitter_prob=0.0,
+                              grayscale_prob=0.0, affine_prob=1.0)
+    a_img, a_masks = aug3(images, masks, random.Random(0))
+    assert a_img.shape == images.shape and a_masks.shape == masks.shape
+
+
+def test_vos_dataset_multiplier(tmp_path):
+    img_root, gt_root = _make_davis_dataset(tmp_path)
+    raw = PNGRawDataset(img_root, gt_root)
+    ds = VOSDataset(raw, RandomUniformSampler(num_frames=2), image_size=64,
+                    max_num_objects=1, hflip_prob=0.0, multiplier=3)
+    assert len(ds) == 3 * len(raw)
+    assert ds[len(raw)]["images"].shape == (2, 64, 64, 3)
+
+
+def test_sav_frame_extraction(tmp_path):
+    """scripts/sav_frame_extraction.py: mp4 -> per-video 05d.jpg frames
+    (reference training/scripts/sav_frame_extraction_submitit.py)."""
+    import sys
+
+    import cv2
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from sav_frame_extraction import extract_one
+
+    vid = str(tmp_path / "sav_test.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 24, (32, 32))
+    rng = np.random.default_rng(0)
+    for _ in range(6):
+        w.write((rng.random((32, 32, 3)) * 255).astype(np.uint8))
+    w.release()
+
+    n = extract_one((vid, str(tmp_path / "out"), 2))
+    out_dir = tmp_path / "out" / "JPEGImages_24fps" / "sav_test"
+    names = sorted(os.listdir(out_dir))
+    assert n == 3 and names == ["00000.jpg", "00002.jpg", "00004.jpg"]

@@ -167,6 +167,31 @@ def main():
         "vs_baseline": round(1.0 / per_frame / BASELINE_VIDEO_FPS, 3),
     })
 
+    # ------------------------------------------------------------------ #
+    # 3. optional: int8 act-quant encoder (BASELINE config #5). Off by
+    #    default — bf16 is the accuracy-neutral default; measured int8
+    #    numbers live in doc/benchmark.md.
+    # ------------------------------------------------------------------ #
+    if os.environ.get("BENCH_INT8") == "1":
+        from sam2_opt_tpu.quant.calibrate import collect_activation_scales
+        from sam2_opt_tpu.quant.int8 import quantize_params
+
+        params_f32 = init_params(cfg, jax.random.PRNGKey(0))
+        scales = collect_activation_scales(
+            params_f32, cfg, [np.asarray(img, np.float32)], percentile=100.0
+        )
+        qparams = quantize_params(
+            _cast_tree(params_f32, jnp.bfloat16), act_scales=scales
+        )
+        per_q = _diff_rate(lambda k: encode_k(qparams, img, k), 2, 18,
+                           f"int8 image encode {variant}")
+        results.append({
+            "metric": f"image_encode_int8_{variant}_1024px_fps",
+            "value": round(1.0 / per_q, 3),
+            "unit": "images/s/chip",
+            "vs_baseline": round(1.0 / per_q / BASELINE_IMAGE_FPS, 3),
+        })
+
     for r in results:
         print(json.dumps(r))
 

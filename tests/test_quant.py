@@ -79,3 +79,54 @@ def test_quantize_params_tree_and_forward(tiny128_cfg, tiny128_params):
     b = np.asarray(out_q["backbone_fpn"][2])
     rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
     assert rel < 0.15, rel  # int8 weight noise through 12 blocks
+
+
+def test_int8_mask_accuracy_gate(tiny128_cfg, tiny128_params):
+    """End-to-end int8 accuracy gate (BASELINE config #5): masks from the
+    int8-quantized encoder (weight-only AND activation-quant) must match the
+    fp32 masks at mIoU >= 0.98 — the XLA analogue of the reference's int8 TRT
+    row keeping SA-V J&F within 0.1 (doc/benchmark.md:25,37)."""
+    import jax
+
+    from sam2_opt_tpu.models import sam2_base as base
+    from sam2_opt_tpu.quant.calibrate import collect_activation_scales
+    from sam2_opt_tpu.quant.int8 import quantize_params
+
+    cfg = tiny128_cfg
+    params = tiny128_params
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.random((1, 128, 128, 3)), jnp.float32)
+    coords = jnp.asarray([[[40.0, 60.0]]], jnp.float32)
+    labels = jnp.asarray([[1]], jnp.int32)
+
+    def predict(p):
+        out = base.forward_image(p, cfg, base.image_normalize(img))
+        hrf0, hrf1, embed = out["backbone_fpn"]
+        embed = base.no_mem_features(p, embed)
+        outs = base.forward_sam_heads(
+            p, cfg, embed, coords, labels,
+            high_res_features=(hrf0, hrf1), multimask_output=True,
+        )
+        return np.asarray(outs[1])  # high-res multimasks
+
+    ref = predict(params) > 0
+
+    def miou(masks):
+        ious = []
+        for m in range(ref.shape[1]):
+            a, b = ref[0, m], masks[0, m]
+            u = (a | b).sum()
+            ious.append(1.0 if u == 0 else (a & b).sum() / u)
+        return float(np.mean(ious))
+
+    q_w = quantize_params(params)
+    miou_w = miou(predict(q_w) > 0)
+    assert miou_w >= 0.98, f"weight-only int8 mIoU {miou_w:.4f}"
+
+    scales = collect_activation_scales(
+        params, cfg, [np.asarray(img)], percentile=100.0
+    )
+    assert scales, "calibration found no linears to quantize"
+    q_a = quantize_params(params, act_scales=scales)
+    miou_a = miou(predict(q_a) > 0)
+    assert miou_a >= 0.98, f"act-quant int8 mIoU {miou_a:.4f}"

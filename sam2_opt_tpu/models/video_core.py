@@ -110,7 +110,8 @@ def condition_on_memory(p, cfg: SAM2Config, curr_feat, mem: MemoryInput):
 
 
 def _finalize(p, cfg: SAM2Config, raw_embed, sam_outputs, run_mem_encoder: bool,
-              is_mask_from_pts: bool, fill_hole_area: int):
+              is_mask_from_pts: bool, fill_hole_area: int,
+              keep_multimasks: bool = False):
     # NOTE: the memory encoder consumes the RAW current-frame features, not the
     # memory-conditioned ones (reference track_step :1167-1177 passes
     # current_vision_feats to _encode_memory_in_output).
@@ -136,6 +137,12 @@ def _finalize(p, cfg: SAM2Config, raw_embed, sam_outputs, run_mem_encoder: bool,
         "object_score_logits": object_score_logits.astype(jnp.float32),
         "ious": ious.astype(jnp.float32),
     }
+    if keep_multimasks:
+        # all multimask slots for distractor analysis (dam4sam track,
+        # reference sam2_base_dam4sam.py:447-501 returns (all_low_res_masks,
+        # all_ious) extras)
+        low_mm = sam_outputs[0]
+        out["all_pred_masks"] = low_mm.astype(jnp.float32)
     if run_mem_encoder and cfg.num_maskmem > 0:
         maskmem, _ = base.encode_new_memory(
             p, cfg, raw_embed, high_res_masks, object_score_logits,
@@ -156,6 +163,7 @@ def track_step_init(
     multimask_output: bool = True,
     run_mem_encoder: bool = False,
     fill_hole_area: int = 0,
+    keep_multimasks: bool = False,
 ):
     """Initial-conditioning-frame step: no-mem embedding fast path
     (reference :951-957 + track_step)."""
@@ -165,6 +173,7 @@ def track_step_init(
         p, cfg, (hrf0, hrf1, pix_feat), embed, point_coords, point_labels,
         mask_inputs, prev_sam_mask_logits, multimask_output, run_mem_encoder,
         fill_hole_area, is_mask_from_pts=point_coords is not None,
+        keep_multimasks=keep_multimasks,
     )
 
 
@@ -179,6 +188,7 @@ def track_step_conditioned(
     multimask_output: bool = True,
     run_mem_encoder: bool = True,
     fill_hole_area: int = 0,
+    keep_multimasks: bool = False,
 ):
     """Tracked-frame step: memory attention + SAM heads + memory encoder
     (reference track_step :1114-1179, non-init branch)."""
@@ -188,13 +198,14 @@ def track_step_conditioned(
         p, cfg, (hrf0, hrf1, pix_feat), embed, point_coords, point_labels, None,
         prev_sam_mask_logits, multimask_output, run_mem_encoder, fill_hole_area,
         is_mask_from_pts=point_coords is not None,
+        keep_multimasks=keep_multimasks,
     )
 
 
 def _track_with_features(
     p, cfg, feats, raw_embed, point_coords, point_labels, mask_inputs,
     prev_sam_mask_logits, multimask_output, run_mem_encoder, fill_hole_area,
-    is_mask_from_pts,
+    is_mask_from_pts, keep_multimasks=False,
 ):
     hrf0, hrf1, pix_feat = feats
     if mask_inputs is not None and cfg.use_mask_input_as_output_without_sam:
@@ -218,7 +229,7 @@ def _track_with_features(
         )
     return _finalize(
         p, cfg, raw_embed, sam_outputs, run_mem_encoder, is_mask_from_pts,
-        fill_hole_area,
+        fill_hole_area, keep_multimasks=keep_multimasks,
     )
 
 

@@ -13,16 +13,26 @@ Here:
   to torch.compile the submodules (sam2_video_predictor_official.py:1082-1329);
   our predictor compiles everything via speedup() already, so the subclass
   only pins the compiled backend on;
-- the legacy and dam4sam tracks are API stubs documenting the delta (the shared
-  memory-bank math is identical; DRM/RAM frame selection is the dam4sam
-  delta) — they raise with a clear message if instantiated.
+- SAM2VideoPredictorDAM4SAM implements the distractor-aware memory track
+  (reference sam2_video_predictor_dam4sam.py + modeling/sam2_base_dam4sam.py):
+  the memory bank is split into a DRM part (distractor-resolving memory —
+  conditioning frames, including frames promoted via `add_to_drm`) and a RAM
+  part (recent-appearance memory — the latest frames WHERE THE TARGET IS
+  VISIBLE, walking further back past occlusions), plus multimask/IoU extras
+  for the caller's distractor analysis;
+- the legacy track stays an API stub (superseded per RELEASE_NOTES.md:10-13).
 """
 
 from __future__ import annotations
 
 import os
 
-from sam2_opt_tpu.predictors.video import SAM2VideoPredictor
+import numpy as np
+
+from sam2_opt_tpu.predictors.video import (
+    SAM2VideoPredictor,
+    _select_closest_cond_frames,
+)
 
 
 class SAM2VideoPredictorVOS(SAM2VideoPredictor):
@@ -48,16 +58,275 @@ class SAM2VideoPredictorLegacy:
         )
 
 
-class SAM2VideoPredictorDAM4SAM:
-    """DAM4SAM distractor-aware track (sam2_video_predictor_dam4sam.py +
-    modeling/sam2_base_dam4sam.py): adds DRM/RAM memory-frame selection on
-    top of the same memory-attention math. Not yet ported."""
+class SAM2VideoPredictorDAM4SAM(SAM2VideoPredictor):
+    """DAM4SAM distractor-aware track (reference
+    sam2_video_predictor_dam4sam.py + modeling/sam2_base_dam4sam.py).
 
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError(
-            "The dam4sam track is not yet ported; unset SAM2_VERSION_TRACK "
-            "or set it to 'official'."
+    Deltas vs the official track, all host-side (the compiled memory-attention
+    graph is the same fixed-capacity masked kernel):
+
+    - per-frame outputs record `n_pixels_pos` (target visibility) and the
+      multimask `all_pred_masks`/`ious` extras (reference
+      sam2_base_dam4sam.py:447-501, predictor :1175);
+    - memory selection (reference sam2_base_dam4sam.py:617-710): the DRM part
+      = selected conditioning frames (t_pos 0), the RAM part = the most
+      recent VISIBLE frames, walking back past frames where the target
+      disappeared (n_pixels_pos < 1), with the stride walk anchored at the
+      previously selected RAM frame; object pointers only from visible
+      frames, unsigned temporal distances;
+    - `add_to_drm(state, frame_idx, obj_id)` promotes an already-tracked
+      frame into the DRM (conditioning) part (reference :434-466) — the
+      caller's distractor analysis decides when;
+    - `propagate_in_video(..., return_all_masks=True)` yields a 4-tuple with
+      `(all_masks, all_ious)` extras (reference :837-941).
+    """
+
+    # retain multimask slots in the compiled step for distractor analysis
+    keep_multimasks = True
+
+    def _compact_output(self, out, pred_masks):
+        compact = super()._compact_output(out, pred_masks)
+        compact["ious"] = out.get("ious")
+        if "all_pred_masks" in out:
+            compact["all_pred_masks"] = out["all_pred_masks"]
+        # host visibility count (reference :1175); small [1,1,256,256] fetch
+        compact["n_pixels_pos"] = int(
+            (np.asarray(pred_masks[0, 0]) > 0).sum()
         )
+        return compact
+
+    @staticmethod
+    def _visible(out) -> bool:
+        return out is not None and out.get("n_pixels_pos", 1) >= 1
+
+    def _gather_memory(self, inference_state, output_dict, frame_idx, reverse):
+        """DRM/RAM memory selection (reference sam2_base_dam4sam.py:617-710).
+
+        Returns a vc.MemoryInput. DRM frames take tpos enumeration slot 0;
+        RAM frames are sorted by frame index and enumerated after them, so
+        the temporal embedding index is `total - t_pos - 1` with `total` the
+        padded slot count (faithful to the reference arithmetic).
+        """
+        import jax.numpy as jnp
+
+        from sam2_opt_tpu.models import video_core as vc
+
+        cfg = self.cfg
+        num_frames = inference_state["num_frames"]
+        cond_outputs = output_dict["cond_frame_outputs"]
+        non_cond = output_dict["non_cond_frame_outputs"]
+        selected_cond, unselected_cond = _select_closest_cond_frames(
+            frame_idx, cond_outputs, cfg.max_cond_frames_in_attn
+        )
+        # DRM part: (sort_key=0, out)
+        t_pos_and_prevs = [(0, out) for out in selected_cond.values()]
+
+        # RAM part: most recent frames with the target visible
+        r = cfg.memory_temporal_stride_for_eval
+        n_ram = cfg.num_maskmem - 1 - (len(t_pos_and_prevs) - 1)
+        outs_, ram_frame_indices = [], []
+        prev_frame_idx = None
+        for i in range(max(n_ram, 0)):
+            if i == 0:
+                prev_frame_idx = frame_idx - 1
+                if prev_frame_idx in cond_outputs:
+                    out = cond_outputs.get(prev_frame_idx)
+                else:
+                    out = non_cond.get(prev_frame_idx)
+                if (
+                    not self._visible(out)
+                    or prev_frame_idx in selected_cond
+                ):
+                    out = None
+                    while True:
+                        prev_frame_idx -= 1
+                        if prev_frame_idx > 0:
+                            out = non_cond.get(prev_frame_idx)
+                            if (
+                                self._visible(out)
+                                and prev_frame_idx not in selected_cond
+                            ):
+                                break
+                            out = None
+                        else:
+                            out = None
+                            break
+            elif prev_frame_idx >= 0:
+                prev_frame_idx = ((prev_frame_idx - 1) // r) * r
+                out = non_cond.get(prev_frame_idx)
+                if (
+                    not self._visible(out)
+                    or prev_frame_idx in selected_cond
+                ):
+                    out = None
+                    while True:
+                        prev_frame_idx -= r
+                        if prev_frame_idx > 0:
+                            out = non_cond.get(prev_frame_idx)
+                            if (
+                                self._visible(out)
+                                and prev_frame_idx not in selected_cond
+                            ):
+                                break
+                            out = None
+                        else:
+                            out = None
+                            break
+            else:
+                out = None
+            outs_.append(out)
+            ram_frame_indices.append(prev_frame_idx)
+
+        for out_f_idx, out in zip(ram_frame_indices, outs_):
+            t_pos_and_prevs.append((out_f_idx, out))
+        # sort: DRM (key 0) first, RAM ascending by frame index; then
+        # enumerate — DRM entries keep t_pos 0, RAM get their position
+        t_pos_and_prevs = sorted(t_pos_and_prevs, key=lambda x: x[0])
+        t_pos_and_prevs = [
+            (0, prev) if t_pos == 0 else (idx, prev)
+            for idx, (t_pos, prev) in enumerate(t_pos_and_prevs)
+        ]
+        total = len(t_pos_and_prevs)
+
+        feats_list, tpos_list = [], []
+        for t_pos, prev in t_pos_and_prevs:
+            if prev is None:
+                continue
+            feats_list.append(prev["maskmem_features"])
+            tpos_list.append(total - t_pos - 1)
+
+        n = max(len(feats_list), 1)
+        cap = cfg.num_maskmem if n <= cfg.num_maskmem else n
+        D = cfg.mem_dim
+        tpos_idx = np.zeros((cap,), np.int32)
+        valid = np.zeros((cap,), bool)
+        zero_slot = self._zero_mem_slot(D)
+        mem_feats = tuple(
+            feats_list[i] if i < len(feats_list) else zero_slot
+            for i in range(cap)
+        )
+        tpos_idx[: len(tpos_list)] = [
+            min(t, cfg.num_maskmem - 1) for t in tpos_list
+        ]
+        valid[: len(feats_list)] = True
+
+        # object pointers: unsigned distances, visible frames only
+        # (reference sam2_base_dam4sam.py:712-741)
+        C = cfg.hidden_dim
+        ptr_cap = cfg.max_obj_ptrs_in_encoder
+        ptrs_list, pos_list = [], []
+        if cfg.use_obj_ptrs_in_encoder:
+            max_obj_ptrs = min(num_frames, cfg.max_obj_ptrs_in_encoder)
+            ptr_cond = {
+                t: out
+                for t, out in selected_cond.items()
+                if (t >= frame_idx if reverse else t <= frame_idx)
+            } if cfg.only_obj_ptrs_in_the_past_for_eval else selected_cond
+            for t, out in ptr_cond.items():
+                pos_list.append(abs(frame_idx - t))
+                ptrs_list.append(out["obj_ptr"])
+            for t_diff in range(1, max_obj_ptrs):
+                t = frame_idx + t_diff if reverse else frame_idx - t_diff
+                if t < 0 or (num_frames is not None and t >= num_frames):
+                    break
+                out = non_cond.get(t, unselected_cond.get(t))
+                if self._visible(out):
+                    pos_list.append(t_diff)
+                    ptrs_list.append(out["obj_ptr"])
+            t_diff_max = max(max_obj_ptrs - 1, 1)
+        else:
+            t_diff_max = 1
+
+        ptr_pos = np.zeros((ptr_cap,), np.float32)
+        ptr_valid = np.zeros((ptr_cap,), bool)
+        ptrs_list = ptrs_list[:ptr_cap]
+        pos_list = pos_list[:ptr_cap]
+        zero_ptr = self._zero_ptr_slot(C)
+        ptrs = tuple(
+            ptrs_list[i] if i < len(ptrs_list) else zero_ptr
+            for i in range(ptr_cap)
+        )
+        ptr_pos[: len(pos_list)] = [pp / t_diff_max for pp in pos_list]
+        ptr_valid[: len(ptrs_list)] = True
+
+        return vc.MemoryInput(
+            feats=mem_feats,
+            tpos_idx=tpos_idx[None],
+            valid=valid[None],
+            ptrs=ptrs,
+            ptr_pos=ptr_pos[None],
+            ptr_valid=ptr_valid[None],
+        )
+
+    def add_to_drm(self, inference_state, frame_idx, obj_id):
+        """Promote an already-tracked frame into the DRM (conditioning) part
+        of the memory (reference :434-466). The frame's stored output —
+        including its already-encoded memory — becomes a cond frame at the
+        next preflight."""
+        obj_idx = self._obj_id_to_idx(inference_state, obj_id)
+        inference_state["mask_inputs_per_obj"][obj_idx].pop(frame_idx, None)
+        inference_state.setdefault("adds_in_drm_per_obj", {}).setdefault(
+            obj_idx, []
+        ).append(frame_idx)
+
+        obj_out = inference_state["output_dict_per_obj"][obj_idx]
+        out = obj_out["non_cond_frame_outputs"].get(frame_idx)
+        if out is None:
+            out = obj_out["cond_frame_outputs"].get(frame_idx)
+        if out is None:
+            raise RuntimeError(
+                f"frame {frame_idx} has no tracked output for object "
+                f"{obj_id}; run propagate_in_video past it first"
+            )
+        temp = inference_state["temp_output_dict_per_obj"][obj_idx]
+        temp["cond_frame_outputs"][frame_idx] = out
+
+        obj_ids = inference_state["obj_ids"]
+        consolidated = self._consolidate_temp_output_across_obj(
+            inference_state, frame_idx, is_cond=True,
+            consolidate_at_video_res=True,
+        )
+        _, video_res_masks = self._get_orig_video_res_output(
+            inference_state, consolidated["pred_masks_video_res"]
+        )
+        return frame_idx, obj_ids, video_res_masks
+
+    def propagate_in_video(self, inference_state, start_frame_idx=None,
+                           max_frame_num_to_track=None, reverse=False,
+                           return_all_masks=False):
+        """Generator; with return_all_masks=True yields
+        (frame_idx, obj_ids, video_res_masks, (all_masks, all_ious))
+        (reference :837-941) for distractor analysis."""
+        gen = super().propagate_in_video(
+            inference_state, start_frame_idx, max_frame_num_to_track, reverse
+        )
+        for frame_idx, obj_ids, video_res_masks in gen:
+            if not return_all_masks:
+                yield frame_idx, obj_ids, video_res_masks
+                continue
+            extras = self._collect_all_masks(inference_state, frame_idx)
+            yield frame_idx, obj_ids, video_res_masks, extras
+
+    def _collect_all_masks(self, inference_state, frame_idx):
+        """Video-res multimask slots + ious of the first object's output on
+        this frame (dam4sam is single-object tracking in practice)."""
+        obj_out = inference_state["output_dict_per_obj"][0]
+        out = obj_out["non_cond_frame_outputs"].get(
+            frame_idx, obj_out["cond_frame_outputs"].get(frame_idx)
+        )
+        if out is None or out.get("all_pred_masks") is None:
+            return ([], np.zeros((0,), np.float32))
+        all_mm = out["all_pred_masks"]  # [1, M, 256, 256]
+        all_masks = []
+        for m in range(all_mm.shape[1]):
+            _, vm = self._get_orig_video_res_output(
+                inference_state, all_mm[:, m : m + 1]
+            )
+            all_masks.append(vm)
+        ious = np.asarray(out["ious"])[0] if out.get("ious") is not None else (
+            np.zeros((all_mm.shape[1],), np.float32)
+        )
+        return (all_masks, ious)
 
 
 def select_video_predictor_cls():

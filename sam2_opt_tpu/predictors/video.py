@@ -727,12 +727,14 @@ class SAM2VideoPredictor:
 
     def _track_jit(self, kind: str, **static):
         """Build/cache a jitted track-step variant."""
-        key = (kind, tuple(sorted(static.items())))
+        key = (kind, getattr(self, "keep_multimasks", False),
+               tuple(sorted(static.items())))
         fns = self.model._jit_fns
         if key in fns:
             return fns[key]
         cfg = self.cfg
 
+        keep_mm = getattr(self, "keep_multimasks", False)
         if kind == "init":
             def fn(p, feats, coords, labels, mask_inputs, prev_logits):
                 return vc.track_step_init(
@@ -741,6 +743,7 @@ class SAM2VideoPredictor:
                     multimask_output=static["multimask"],
                     run_mem_encoder=static["run_mem_encoder"],
                     fill_hole_area=static["fill_hole_area"],
+                    keep_multimasks=keep_mm and static["multimask"],
                 )
         elif kind == "cond":
             def fn(p, feats, mem, coords, labels, prev_logits):
@@ -758,6 +761,7 @@ class SAM2VideoPredictor:
                     multimask_output=static["multimask"],
                     run_mem_encoder=static["run_mem_encoder"],
                     fill_hole_area=static["fill_hole_area"],
+                    keep_multimasks=keep_mm and static["multimask"],
                 )
         elif kind == "memenc":
             def fn(p, embed, high_res_masks, obj_score):
@@ -876,17 +880,23 @@ class SAM2VideoPredictor:
                 self.model._jit_fns[key] = ffn
             pred_masks = ffn(pred_masks)
 
-        compact = {
+        compact = self._compact_output(out, pred_masks)
+        if self.sync_per_frame:
+            jax.block_until_ready(
+                [v for v in compact.values()
+                 if v is not None and hasattr(v, "dtype")]
+            )
+        return compact
+
+    def _compact_output(self, out, pred_masks):
+        """Per-frame stored output (subclass hook: the dam4sam track adds
+        visibility counts and multimask extras)."""
+        return {
             "maskmem_features": out.get("maskmem_features"),
             "pred_masks": pred_masks,
             "obj_ptr": out["obj_ptr"],
             "object_score_logits": out["object_score_logits"],
         }
-        if self.sync_per_frame:
-            jax.block_until_ready(
-                [v for v in compact.values() if v is not None]
-            )
-        return compact
 
     def _run_batched_frame_inference(self, inference_state, obj_idxs,
                                      frame_idx, reverse):
@@ -948,14 +958,11 @@ class SAM2VideoPredictor:
             )
         results = []
         for i in range(len(obj_idxs)):
-            results.append(
-                {
-                    "maskmem_features": out["maskmem_features"][i : i + 1],
-                    "pred_masks": pred_masks[i : i + 1],
-                    "obj_ptr": out["obj_ptr"][i : i + 1],
-                    "object_score_logits": out["object_score_logits"][i : i + 1],
-                }
-            )
+            out_i = {
+                k: (v[i : i + 1] if hasattr(v, "ndim") else v)
+                for k, v in out.items()
+            }
+            results.append(self._compact_output(out_i, pred_masks[i : i + 1]))
         return results
 
     def _run_memory_encoder(self, inference_state, frame_idx, high_res_masks,

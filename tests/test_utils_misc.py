@@ -75,9 +75,9 @@ def test_variant_selection(monkeypatch):
     monkeypatch.delenv("SAM2_VERSION_TRACK", raising=False)
     assert select_video_predictor_cls() is SAM2VideoPredictor
     monkeypatch.setenv("SAM2_VERSION_TRACK", "dam4sam")
+    # dam4sam is a fully implemented track (see tests/test_dam4sam.py)
     assert select_video_predictor_cls() is SAM2VideoPredictorDAM4SAM
-    with pytest.raises(NotImplementedError):
-        select_video_predictor_cls()(None)
+    assert issubclass(SAM2VideoPredictorDAM4SAM, SAM2VideoPredictor)
     monkeypatch.setenv("SAM2_VERSION_TRACK", "legacy")
     with pytest.raises(NotImplementedError):
         select_video_predictor_cls()(None)

@@ -20,7 +20,9 @@ Here:
   part (recent-appearance memory — the latest frames WHERE THE TARGET IS
   VISIBLE, walking further back past occlusions), plus multimask/IoU extras
   for the caller's distractor analysis;
-- the legacy track stays an API stub (superseded per RELEASE_NOTES.md:10-13).
+- SAM2VideoPredictorLegacy enforces the pre-12/2024 API contract (no new
+  objects after tracking starts, box-after-start warning) on the modern
+  engine (superseded per RELEASE_NOTES.md:10-13, kept for backward compat).
 """
 
 from __future__ import annotations
@@ -46,16 +48,66 @@ class SAM2VideoPredictorVOS(SAM2VideoPredictor):
         self.speedup()
 
 
-class SAM2VideoPredictorLegacy:
-    """Pre-12/2024 API (shared output_dict across objects,
-    sam2_video_predictor_legacy.py). Not ported: the official track supersedes
-    it (reference RELEASE_NOTES.md:10-13); use SAM2VideoPredictor."""
+class SAM2VideoPredictorLegacy(SAM2VideoPredictor):
+    """Pre-12/2024 API contract (reference sam2_video_predictor_legacy.py),
+    superseded by the official track (RELEASE_NOTES.md:10-13) but kept for
+    backward compatibility. The legacy public-API deltas are enforced on top
+    of the modern engine:
 
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError(
-            "The legacy (pre-12/2024) video predictor track is not ported; "
-            "use SAM2VideoPredictor (the official track) instead."
+    - new objects CANNOT be added after tracking starts
+      (`tracking_has_started`, reference legacy :107,138-162) — the official
+      track allows it; legacy raises with the reference's message;
+    - adding a box after tracking starts warns (reference legacy :216-224);
+    - `reset_state` clears the tracking-started flag (reference :848-877).
+
+    Internally the per-object storage of the modern engine is used (the
+    legacy shared batched output_dict is an implementation detail that the
+    public API does not expose).
+    """
+
+    def init_state(self, *args, **kwargs):
+        state = super().init_state(*args, **kwargs)
+        state["tracking_has_started"] = False
+        return state
+
+    def _obj_id_to_idx(self, inference_state, obj_id):
+        obj_idx = inference_state["obj_id_to_idx"].get(obj_id)
+        if obj_idx is None and inference_state.get("tracking_has_started"):
+            raise RuntimeError(
+                f"Cannot add new object id {obj_id} after tracking starts. "
+                f"All existing object ids: {inference_state['obj_ids']}. "
+                "Please call 'reset_state' to restart from scratch."
+            )
+        return super()._obj_id_to_idx(inference_state, obj_id)
+
+    def add_new_points_or_box(self, inference_state, frame_idx, obj_id,
+                              points=None, labels=None, clear_old_points=True,
+                              normalize_coords=True, box=None):
+        if box is not None and inference_state.get("tracking_has_started"):
+            import warnings
+
+            warnings.warn(
+                "You are adding a box after tracking starts. SAM 2 may not "
+                "always be able to incorporate a box prompt for *refinement*. "
+                "If you intend to use box prompt as an *initial* input before "
+                "tracking, please call 'reset_state' on the inference state "
+                "to restart from scratch.",
+                category=UserWarning,
+                stacklevel=2,
+            )
+        return super().add_new_points_or_box(
+            inference_state, frame_idx, obj_id, points=points, labels=labels,
+            clear_old_points=clear_old_points,
+            normalize_coords=normalize_coords, box=box,
         )
+
+    def propagate_in_video(self, inference_state, *args, **kwargs):
+        inference_state["tracking_has_started"] = True
+        return super().propagate_in_video(inference_state, *args, **kwargs)
+
+    def reset_state(self, inference_state):
+        super().reset_state(inference_state)
+        inference_state["tracking_has_started"] = False
 
 
 class SAM2VideoPredictorDAM4SAM(SAM2VideoPredictor):

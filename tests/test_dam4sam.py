@@ -135,3 +135,40 @@ def test_dam4sam_end_to_end(dam_predictor):
     # memory gather at a later frame now treats frame 2 as DRM (cond)
     mem = p._gather_memory(state, obj_out, frame_idx=4, reverse=False)
     assert np.asarray(mem.valid[0]).sum() >= 2
+
+
+def test_legacy_track_contract(tiny128_cfg, tiny128_params):
+    """Legacy (pre-12/2024) API contract: no new objects after tracking
+    starts; box-after-start warns; reset clears the flag (reference
+    sam2_video_predictor_legacy.py:107,138-162,216-224,848-877)."""
+    import warnings
+
+    from sam2_opt_tpu.predictors.variants import SAM2VideoPredictorLegacy
+
+    p = SAM2VideoPredictorLegacy(
+        SAM2Model(tiny128_params, tiny128_cfg), fill_hole_area=0
+    )
+    rng = np.random.default_rng(10)
+    video = (rng.random((3, 128, 128, 3)) * 255).astype(np.uint8)
+    state = p.init_state(video)
+    assert state["tracking_has_started"] is False
+    p.add_new_points_or_box(
+        state, 0, 1, points=np.array([[60.0, 60.0]], np.float32),
+        labels=np.array([1], np.int32),
+    )
+    list(p.propagate_in_video(state))
+    assert state["tracking_has_started"] is True
+
+    with pytest.raises(RuntimeError, match="Cannot add new object"):
+        p.add_new_points_or_box(
+            state, 1, 2, points=np.array([[30.0, 30.0]], np.float32),
+            labels=np.array([1], np.int32),
+        )
+    # existing object: box prompt after start warns but works
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        p.add_new_points_or_box(state, 1, 1, box=np.array([20, 20, 90, 90]))
+    assert any("after tracking starts" in str(x.message) for x in w)
+
+    p.reset_state(state)
+    assert state["tracking_has_started"] is False

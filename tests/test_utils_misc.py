@@ -75,12 +75,12 @@ def test_variant_selection(monkeypatch):
     monkeypatch.delenv("SAM2_VERSION_TRACK", raising=False)
     assert select_video_predictor_cls() is SAM2VideoPredictor
     monkeypatch.setenv("SAM2_VERSION_TRACK", "dam4sam")
-    # dam4sam is a fully implemented track (see tests/test_dam4sam.py)
+    # dam4sam and legacy are fully implemented tracks
     assert select_video_predictor_cls() is SAM2VideoPredictorDAM4SAM
     assert issubclass(SAM2VideoPredictorDAM4SAM, SAM2VideoPredictor)
     monkeypatch.setenv("SAM2_VERSION_TRACK", "legacy")
-    with pytest.raises(NotImplementedError):
-        select_video_predictor_cls()(None)
+    assert select_video_predictor_cls() is SAM2VideoPredictorLegacy
+    assert issubclass(SAM2VideoPredictorLegacy, SAM2VideoPredictor)
 
 
 def test_params_native_roundtrip(tmp_path, tiny128_params):

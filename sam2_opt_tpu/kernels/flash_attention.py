@@ -81,9 +81,13 @@ def _pad_to(x, size, axis, value=0.0):
     jax.jit, static_argnames=("block_q", "block_k", "interpret")
 )
 def flash_attention(
-    q, k, v, kv_mask=None, *, block_q: int = 256, block_k: int = 512,
+    q, k, v, kv_mask=None, *, block_q: int = 1024, block_k: int = 1024,
     interpret: bool = False,
 ):
+    # Default blocks autotuned on v5e for the memory-attention cross shape
+    # (4096 q x 28.8k kv, d 256): (1024, 1024) streams kv from HBM 4x
+    # instead of 16x -> 5.5 ms vs 7.7 ms for the 4-layer stack. Larger
+    # blocks (2048+) overflow VMEM at d_pad=256.
     """q [B,H,Sq,D], k/v [B,H,Skv,D], kv_mask optional [B,Skv] bool.
 
     Returns [B,H,Sq,D] with torch-SDPA semantics (scale 1/sqrt(D)).

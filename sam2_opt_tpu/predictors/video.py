@@ -73,9 +73,9 @@ class SAM2VideoPredictor:
         # in-flight queues. Default: sync only on such backends; healthy
         # local backends pipeline. Override via kwarg or
         # SAM2_TPU_SYNC_PER_FRAME=0/1.
-        if sync_per_frame is None:
-            import os as _os
+        import os as _os
 
+        if sync_per_frame is None:
             env = _os.environ.get("SAM2_TPU_SYNC_PER_FRAME")
             if env is not None:
                 sync_per_frame = env not in ("0", "false", "False")
@@ -86,6 +86,13 @@ class SAM2VideoPredictor:
                     platform = "cpu"
                 sync_per_frame = platform not in ("cpu", "tpu", "gpu")
         self.sync_per_frame = sync_per_frame
+        # When syncing (relay backends), block only every Nth dispatch: this
+        # bounds the in-flight queue (the flake trigger) while amortizing the
+        # relay round trips. Measured on the axon relay, hiera-T: sync every
+        # frame 396 ms/frame wall-clock, fully pipelined 47 ms/frame;
+        # sync_every=4 keeps most of the pipelining win (doc/benchmark.md).
+        self.sync_every = max(int(_os.environ.get("SAM2_TPU_SYNC_EVERY", "4")), 1)
+        self._dispatch_count = 0
         # video predictors binarize click-frame masks for the memory encoder
         # (reference build_sam.py:110-131 override)
         if not self.cfg.binarize_mask_from_pts_for_mem_enc:
@@ -881,12 +888,18 @@ class SAM2VideoPredictor:
             pred_masks = ffn(pred_masks)
 
         compact = self._compact_output(out, pred_masks)
-        if self.sync_per_frame:
+        if self._should_sync():
             jax.block_until_ready(
                 [v for v in compact.values()
                  if v is not None and hasattr(v, "dtype")]
             )
         return compact
+
+    def _should_sync(self) -> bool:
+        if not self.sync_per_frame:
+            return False
+        self._dispatch_count += 1
+        return self._dispatch_count % self.sync_every == 0
 
     def _compact_output(self, out, pred_masks):
         """Per-frame stored output (subclass hook: the dam4sam track adds
@@ -951,7 +964,7 @@ class SAM2VideoPredictor:
                 self.model._jit_fns[key] = ffn
             pred_masks = ffn(pred_masks)
 
-        if self.sync_per_frame:
+        if self._should_sync():
             jax.block_until_ready(
                 [pred_masks, out["obj_ptr"], out["object_score_logits"],
                  out["maskmem_features"]]

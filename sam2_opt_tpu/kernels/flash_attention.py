@@ -77,6 +77,73 @@ def _pad_to(x, size, axis, value=0.0):
     return jnp.pad(x, widths, constant_values=value)
 
 
+def _forward_impl(scale, bq, bk, interpret, qf, kf, vf, maskf):
+    """Padded-layout pallas forward. qf/kf/vf [N, S*, d_pad], maskf [N,1,skv]."""
+    N, sq_pad, d_pad = qf.shape
+    skv_pad = kf.shape[1]
+    nq = sq_pad // bq
+    nk = skv_pad // bk
+    return pl.pallas_call(
+        functools.partial(_kernel, scale=scale, num_kv_blocks=nk),
+        grid=(N, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, bq, d_pad), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, bk, d_pad), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, bk, d_pad), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, 1, bk), lambda b, iq, ik: (b, 0, ik)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d_pad), lambda b, iq, ik: (b, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, sq_pad, d_pad), qf.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, maskf)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _attn_core(scale, bq, bk, interpret, qf, kf, vf, maskf):
+    """Differentiable seam: Pallas kernel forward, exact softmax-recompute
+    backward (pallas_call has no autodiff rule — without this, any training
+    path that routes through the flash kernel fails to differentiate)."""
+    return _forward_impl(scale, bq, bk, interpret, qf, kf, vf, maskf)
+
+
+def _attn_fwd(scale, bq, bk, interpret, qf, kf, vf, maskf):
+    out = _forward_impl(scale, bq, bk, interpret, qf, kf, vf, maskf)
+    return out, (qf, kf, vf, maskf)
+
+
+def _attn_bwd(scale, bq, bk, interpret, res, do):
+    qf, kf, vf, maskf = res
+    q32 = qf.astype(jnp.float32)
+    k32 = kf.astype(jnp.float32)
+    v32 = vf.astype(jnp.float32)
+    do32 = do.astype(jnp.float32)
+    s = jnp.einsum("nqd,nkd->nqk", q32, k32) * scale
+    s = jnp.where(maskf > 0, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / jnp.where(l == 0.0, 1.0, l)
+    dv = jnp.einsum("nqk,nqd->nkd", p, do32)
+    dp = jnp.einsum("nqd,nkd->nqk", do32, v32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("nqk,nkd->nqd", ds, k32) * scale
+    dk = jnp.einsum("nqk,nqd->nkd", ds, q32) * scale
+    return (
+        dq.astype(qf.dtype),
+        dk.astype(kf.dtype),
+        dv.astype(vf.dtype),
+        jnp.zeros_like(maskf),
+    )
+
+
+_attn_core.defvjp(_attn_fwd, _attn_bwd)
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_q", "block_k", "interpret")
 )
@@ -104,35 +171,16 @@ def flash_attention(
 
     if kv_mask is None:
         kv_mask = jnp.ones((B, Skv), jnp.bool_)
-    mask_i32 = kv_mask.astype(jnp.int32)
-    mask_i32 = _pad_to(mask_i32, skv_pad, 1)[:, None, :]  # [B, 1, skv_pad]
-    mask_i32 = jnp.broadcast_to(mask_i32, (B, H, skv_pad)).reshape(B * H, 1, skv_pad)
+    # float mask (not int) so the custom-vjp seam has an ordinary zero
+    # cotangent for it
+    maskf = kv_mask.astype(jnp.float32)
+    maskf = _pad_to(maskf, skv_pad, 1)[:, None, :]  # [B, 1, skv_pad]
+    maskf = jnp.broadcast_to(maskf, (B, H, skv_pad)).reshape(B * H, 1, skv_pad)
 
     qf = _pad_to(_pad_to(q, sq_pad, 2), d_pad, 3).reshape(B * H, sq_pad, d_pad)
     kf = _pad_to(_pad_to(k, skv_pad, 2), d_pad, 3).reshape(B * H, skv_pad, d_pad)
     vf = _pad_to(_pad_to(v, skv_pad, 2), d_pad, 3).reshape(B * H, skv_pad, d_pad)
 
-    nq = sq_pad // bq
-    nk = skv_pad // bk
-
-    out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, num_kv_blocks=nk),
-        grid=(B * H, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, bq, d_pad), lambda b, iq, ik: (b, iq, 0)),
-            pl.BlockSpec((1, bk, d_pad), lambda b, iq, ik: (b, ik, 0)),
-            pl.BlockSpec((1, bk, d_pad), lambda b, iq, ik: (b, ik, 0)),
-            pl.BlockSpec((1, 1, bk), lambda b, iq, ik: (b, 0, ik)),
-        ],
-        out_specs=pl.BlockSpec((1, bq, d_pad), lambda b, iq, ik: (b, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * H, sq_pad, d_pad), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, d_pad), jnp.float32),
-        ],
-        interpret=interpret,
-    )(qf, kf, vf, mask_i32)
-
+    out = _attn_core(scale, bq, bk, interpret, qf, kf, vf, maskf)
     out = out.reshape(B, H, sq_pad, d_pad)[:, :, :Sq, :D]
     return out

@@ -77,3 +77,35 @@ def test_flash_or_sdpa_window_flag(monkeypatch):
     out = ops.flash_or_sdpa(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(base),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_flash_gradients_match_sdpa():
+    """The flash kernel's custom VJP (softmax-recompute backward) must match
+    SDPA gradients — without it, training on TPU (where flash is the default
+    attention) fails to differentiate at all."""
+    from sam2_opt_tpu.kernels.flash_attention import flash_attention
+    from sam2_opt_tpu.ops.common import scaled_dot_product_attention
+
+    rng = np.random.default_rng(13)
+    B, H, Sq, Skv, D = 1, 2, 128, 192, 64
+    q = jnp.asarray(rng.standard_normal((B, H, Sq, D)) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, Skv, D)) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, Skv, D)) * 0.3, jnp.float32)
+    m = np.ones((B, Skv), bool)
+    m[:, 150:] = False
+    mask = jnp.asarray(m)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, kv_mask=mask, block_q=128, block_k=128,
+                            interpret=True)
+        return jnp.sum(o * o)
+
+    def loss_sdpa(q, k, v):
+        o = scaled_dot_product_attention(q, k, v, mask=mask[:, None, None, :])
+        return jnp.sum(o * o)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gs = jax.grad(loss_sdpa, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gs, "qkv"):
+        err = float(jnp.max(jnp.abs(a - b)))
+        assert err < 1e-4, f"d{name} err {err}"

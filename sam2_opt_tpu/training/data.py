@@ -520,22 +520,85 @@ class VOSDataset:
 
 
 class TorchTrainMixedDataset:
-    """Multi-dataset mixing with per-epoch phases
-    (reference sam2_datasets.py:70). Iterates samples round-robin weighted by
-    dataset length."""
+    """Multi-dataset mixing (reference sam2_datasets.py:70-170): each step
+    samples a dataset by probability (default: proportional to its
+    batch-count), draws one batch from that dataset's loader, and exhausted
+    loaders drop out of the mix. `phases_per_epoch` splits each dataset's
+    epoch into consecutive chunks so very large datasets interleave with
+    small ones at sub-epoch granularity. Name kept for reference-API
+    familiarity (there is no torch here)."""
 
-    def __init__(self, datasets: Sequence[VOSDataset], batch_sizes=None):
+    def __init__(self, datasets: Sequence[VOSDataset], batch_sizes=None,
+                 dataset_prob: Optional[Sequence[float]] = None,
+                 phases_per_epoch: int = 1, drop_last: bool = True):
+        assert datasets, "need at least one dataset"
         self.datasets = list(datasets)
+        self.batch_sizes = (
+            list(batch_sizes) if batch_sizes is not None
+            else [1] * len(self.datasets)
+        )
+        assert len(self.batch_sizes) == len(self.datasets)
+        self.drop_last = drop_last
+        self.phases_per_epoch = max(int(phases_per_epoch), 1)
+        self._chunks: List[Optional[List[int]]] = [None] * len(self.datasets)
+        if dataset_prob is None:
+            lens = [
+                (len(d) // bs if drop_last else -(-len(d) // bs))
+                for d, bs in zip(self.datasets, self.batch_sizes)
+            ]
+            total = max(sum(lens), 1)
+            dataset_prob = [l / total for l in lens]
+        assert abs(sum(dataset_prob) - 1.0) < 1e-6, "probs must sum to 1"
+        self.dataset_prob = list(dataset_prob)
 
     def __len__(self):
         return sum(len(d) for d in self.datasets)
 
-    def __getitem__(self, idx: int):
-        for d in self.datasets:
-            if idx < len(d):
-                return d[idx]
-            idx -= len(d)
-        raise IndexError
+    def _phase_indices(self, d_idx: int, epoch: int, rng) -> List[int]:
+        """This epoch's index chunk for dataset d_idx (reference
+        get_loader's phase chunking, sam2_datasets.py:137-155)."""
+        n = len(self.datasets[d_idx])
+        if self.phases_per_epoch == 1:
+            order = list(range(n))
+            rng.shuffle(order)
+            return order
+        phase = epoch % self.phases_per_epoch
+        if phase == 0 or self._chunks[d_idx] is None:
+            order = list(range(n))
+            random.Random(rng.random()).shuffle(order)
+            size = -(-n // self.phases_per_epoch)
+            self._chunks[d_idx] = [
+                order[i * size : (i + 1) * size]
+                for i in range(self.phases_per_epoch)
+            ]
+        return list(self._chunks[d_idx][phase])
+
+    def get_loader(self, epoch: int, seed: int = 0) -> Iterator[Dict]:
+        """Iterator of collated batches for one epoch of the mix."""
+        rng = random.Random(seed + epoch)
+        iters = []
+        for d_idx, (ds, bs) in enumerate(zip(self.datasets, self.batch_sizes)):
+            idxs = self._phase_indices(d_idx, epoch, rng)
+
+            def batches(ds=ds, bs=bs, idxs=idxs):
+                batch = []
+                for i in idxs:
+                    batch.append(ds[i])
+                    if len(batch) == bs:
+                        yield collate_videos(batch)
+                        batch = []
+                if batch and not self.drop_last:
+                    yield collate_videos(batch)
+
+            iters.append(batches())
+        probs = list(self.dataset_prob)
+        alive = list(range(len(iters)))
+        while alive:
+            pick = rng.choices(alive, weights=[probs[i] for i in alive])[0]
+            try:
+                yield next(iters[pick])
+            except StopIteration:
+                alive.remove(pick)
 
 
 def collate_videos(samples: List[Dict]) -> Dict[str, np.ndarray]:

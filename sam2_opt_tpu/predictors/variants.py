@@ -159,8 +159,6 @@ class SAM2VideoPredictorDAM4SAM(SAM2VideoPredictor):
         the temporal embedding index is `total - t_pos - 1` with `total` the
         padded slot count (faithful to the reference arithmetic).
         """
-        import jax.numpy as jnp
-
         from sam2_opt_tpu.models import video_core as vc
 
         cfg = self.cfg

@@ -102,7 +102,6 @@ class Trainer:
             from sam2_opt_tpu.parallel import mesh as mesh_lib
 
             params = mesh_lib.shard_params(mesh, params)
-            self._data_sharding = mesh_lib.data_sharded(mesh, 1)
         self.params = params
         trunk_depth = model_cfg.trunk.depth
         self.optimizer = build_optimizer(

@@ -151,8 +151,6 @@ def test_image_predictor_on_mesh(tiny128_cfg, tiny128_params, mesh8):
     ref_p.set_image_batch(images)
     ref_masks, ref_ious, _ = ref_p.predict_batch(coords, labels)
 
-    import copy
-
     mesh_p = SAM2ImagePredictor(
         SAM2Model(jax.tree_util.tree_map(jnp.copy, tiny128_params), cfg),
         mesh=mesh8,

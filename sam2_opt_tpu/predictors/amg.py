@@ -1,39 +1,21 @@
 """SAM2AutomaticMaskGenerator — dense grid prompting over the image predictor.
 
-Adapted from Meta's SAM2 `sam2/sam2/automatic_mask_generator.py`
-(Apache-2.0; see LICENSES/LICENSE_SAM2_APACHE2): the crop/filter/NMS flow
-keeps the upstream structure for output compatibility.
-
-API-parity re-design of sam2/sam2/automatic_mask_generator.py:36-454, with
-numpy host-side mask bookkeeping (utils/amg.py) and a self-contained NMS.
+Produces the same annotation records as Meta's SAM2
+`sam2/sam2/automatic_mask_generator.py` (Apache-2.0; see
+LICENSES/LICENSE_SAM2_APACHE2) — the output schema, filtering thresholds and
+crop pyramid are that algorithm — implemented here as a functional pipeline
+over plain column-dict records (utils/amg.py): predict a grid chunk, apply a
+sequence of row filters, deduplicate with self-contained NMS.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 
 from sam2_opt_tpu.predictors.image import SAM2ImagePredictor
-from sam2_opt_tpu.utils.amg import (
-    MaskData,
-    area_from_rle,
-    batch_iterator,
-    batched_mask_to_box,
-    batched_nms,
-    box_xyxy_to_xywh,
-    build_all_layer_point_grids,
-    calculate_stability_score,
-    coco_encode_rle,
-    generate_crop_boxes,
-    is_box_near_crop_edge,
-    mask_to_rle,
-    remove_small_regions,
-    rle_to_mask,
-    uncrop_boxes_xyxy,
-    uncrop_masks,
-    uncrop_points,
-)
+from sam2_opt_tpu.utils import amg as A
 
 
 class SAM2AutomaticMaskGenerator:
@@ -61,14 +43,14 @@ class SAM2AutomaticMaskGenerator:
         assert (points_per_side is None) != (point_grids is None), (
             "Exactly one of points_per_side or point_grid must be provided."
         )
-        if points_per_side is not None:
-            self.point_grids = build_all_layer_point_grids(
+        assert output_mode in ("binary_mask", "uncompressed_rle", "coco_rle")
+        self.point_grids = (
+            point_grids
+            if point_grids is not None
+            else A.build_all_layer_point_grids(
                 points_per_side, crop_n_layers, crop_n_points_downscale_factor
             )
-        else:
-            self.point_grids = point_grids
-        assert output_mode in ("binary_mask", "uncompressed_rle", "coco_rle")
-
+        )
         self.predictor = (
             model
             if isinstance(model, SAM2ImagePredictor)
@@ -84,201 +66,204 @@ class SAM2AutomaticMaskGenerator:
         self.crop_n_layers = crop_n_layers
         self.crop_nms_thresh = crop_nms_thresh
         self.crop_overlap_ratio = crop_overlap_ratio
-        self.crop_n_points_downscale_factor = crop_n_points_downscale_factor
         self.min_mask_region_area = min_mask_region_area
         self.output_mode = output_mode
         self.use_m2m = use_m2m
         self.multimask_output = multimask_output
 
+    # ------------------------------------------------------------------ #
+    # public API
+    # ------------------------------------------------------------------ #
+
     def generate(self, image: np.ndarray) -> List[Dict[str, Any]]:
-        """HWC uint8 image -> list of mask records (reference :169-222)."""
-        mask_data = self._generate_masks(image)
+        """HWC uint8 image -> list of annotation records (upstream schema)."""
+        data = self._all_crops(image)
 
         if self.output_mode == "coco_rle":
-            mask_data["segmentations"] = [
-                coco_encode_rle(rle) for rle in mask_data["rles"]
-            ]
+            segs = [A.coco_encode_rle(r) for r in data["rles"]]
         elif self.output_mode == "binary_mask":
-            mask_data["segmentations"] = [
-                rle_to_mask(rle) for rle in mask_data["rles"]
-            ]
+            segs = [A.rle_to_mask(r) for r in data["rles"]]
         else:
-            mask_data["segmentations"] = mask_data["rles"]
+            segs = data["rles"]
 
-        curr_anns = []
-        for idx in range(len(mask_data["segmentations"])):
-            curr_anns.append(
-                {
-                    "segmentation": mask_data["segmentations"][idx],
-                    "area": area_from_rle(mask_data["rles"][idx]),
-                    "bbox": box_xyxy_to_xywh(mask_data["boxes"][idx]).tolist(),
-                    "predicted_iou": float(mask_data["iou_preds"][idx]),
-                    "point_coords": [mask_data["points"][idx].tolist()],
-                    "stability_score": float(mask_data["stability_score"][idx]),
-                    "crop_box": box_xyxy_to_xywh(
-                        mask_data["crop_boxes"][idx]
-                    ).tolist(),
-                }
+        return [
+            {
+                "segmentation": seg,
+                "area": A.area_from_rle(rle),
+                "bbox": A.box_xyxy_to_xywh(box).tolist(),
+                "predicted_iou": float(iou),
+                "point_coords": [point.tolist()],
+                "stability_score": float(stab),
+                "crop_box": A.box_xyxy_to_xywh(crop).tolist(),
+            }
+            for seg, rle, box, iou, point, stab, crop in zip(
+                segs, data["rles"], data["boxes"], data["iou_preds"],
+                data["points"], data["stability_score"], data["crop_boxes"],
             )
-        return curr_anns
+        ]
 
-    def _generate_masks(self, image: np.ndarray) -> MaskData:
+    # ------------------------------------------------------------------ #
+    # pipeline stages
+    # ------------------------------------------------------------------ #
+
+    def _all_crops(self, image: np.ndarray) -> A.Records:
         orig_size = image.shape[:2]
-        crop_boxes, layer_idxs = generate_crop_boxes(
+        crop_boxes, layers = A.generate_crop_boxes(
             orig_size, self.crop_n_layers, self.crop_overlap_ratio
         )
-        data = MaskData()
-        for crop_box, layer_idx in zip(crop_boxes, layer_idxs):
-            data.cat(self._process_crop(image, crop_box, layer_idx, orig_size))
-
+        data = A.concat_records(
+            [self._one_crop(image, box, layer, orig_size)
+             for box, layer in zip(crop_boxes, layers)]
+        )
         if len(crop_boxes) > 1:
-            # prefer masks from smaller crops
-            areas = (
+            # deduplicate across crops, preferring masks from smaller crops
+            crop_area = (
                 (data["crop_boxes"][:, 2] - data["crop_boxes"][:, 0])
                 * (data["crop_boxes"][:, 3] - data["crop_boxes"][:, 1])
             ).astype(np.float64)
-            scores = 1.0 / np.maximum(areas, 1)
-            keep = batched_nms(
-                data["boxes"], scores, np.zeros(len(scores)),
-                iou_threshold=self.crop_nms_thresh,
+            keep = A.batched_nms(
+                data["boxes"], 1.0 / np.maximum(crop_area, 1),
+                np.zeros(len(crop_area)), iou_threshold=self.crop_nms_thresh,
             )
-            data.filter(keep)
+            data = A.filter_records(data, keep)
         if self.min_mask_region_area > 0:
-            data = self.postprocess_small_regions(
+            data = self._clean_small_regions(
                 data, self.min_mask_region_area,
                 max(self.box_nms_thresh, self.crop_nms_thresh),
             )
-        data.to_numpy()
         return data
 
-    def _process_crop(self, image, crop_box, crop_layer_idx, orig_size) -> MaskData:
+    def _one_crop(self, image, crop_box, layer: int, orig_size) -> A.Records:
         x0, y0, x1, y1 = crop_box
-        cropped_im = image[y0:y1, x0:x1, :]
-        cropped_im_size = cropped_im.shape[:2]
-        self.predictor.set_image(cropped_im)
+        crop = image[y0:y1, x0:x1, :]
+        crop_hw = crop.shape[:2]
+        self.predictor.set_image(crop)
+        grid = self.point_grids[layer] * np.asarray(crop_hw)[None, ::-1]
+        try:
+            chunks = [
+                self._one_chunk(pts, crop_hw, crop_box, orig_size)
+                for (pts,) in A.chunked(self.points_per_batch, grid)
+            ]
+        finally:
+            self.predictor.reset_predictor()
+        data = A.concat_records(chunks)
 
-        points_scale = np.array(cropped_im_size)[None, ::-1]
-        points_for_image = self.point_grids[crop_layer_idx] * points_scale
-
-        data = MaskData()
-        for (points,) in batch_iterator(self.points_per_batch, points_for_image):
-            data.cat(
-                self._process_batch(
-                    points, cropped_im_size, crop_box, orig_size, normalize=True
-                )
-            )
-        self.predictor.reset_predictor()
-
-        keep = batched_nms(
-            data["boxes"], data["iou_preds"], np.zeros(len(data["iou_preds"])),
-            iou_threshold=self.box_nms_thresh,
+        # within-crop dedup, then lift coordinates to the full image
+        keep = A.batched_nms(
+            data["boxes"], data["iou_preds"],
+            np.zeros(A.num_records(data)), iou_threshold=self.box_nms_thresh,
         )
-        data.filter(keep)
-
-        data["boxes"] = uncrop_boxes_xyxy(data["boxes"], crop_box)
-        data["points"] = uncrop_points(data["points"], crop_box)
-        data["crop_boxes"] = np.asarray(
-            [crop_box for _ in range(len(data["rles"]))]
+        data = A.filter_records(data, keep)
+        data["boxes"] = A.shift_boxes(data["boxes"], crop_box)
+        data["points"] = A.shift_points(data["points"], crop_box)
+        data["crop_boxes"] = np.tile(
+            np.asarray(crop_box)[None], (A.num_records(data), 1)
         )
         return data
 
-    def _process_batch(self, points, im_size, crop_box, orig_size,
-                       normalize=False) -> MaskData:
+    def _one_chunk(self, points, crop_hw, crop_box, orig_size) -> A.Records:
+        """Predict one chunk of grid points and run the row-filter pipeline:
+        IoU threshold -> stability threshold -> binarize -> drop crop-edge
+        artifacts -> encode RLE."""
         orig_h, orig_w = orig_size
+        h, w = crop_hw
         points = np.asarray(points, np.float32)
-        h, w = im_size
-        in_points = points / np.asarray([w, h], np.float32) if normalize else points
-        in_points = in_points * self.predictor.cfg.image_size
-        in_labels = np.ones((in_points.shape[0], 1), np.int32)
+        model_pts = points / np.asarray([w, h], np.float32) \
+            * self.predictor.cfg.image_size
+        labels = np.ones((len(points), 1), np.int32)
 
-        masks, iou_preds, low_res_masks = self.predictor._predict(
-            in_points[:, None, :], in_labels,
+        mask_logits, iou_preds, low_res = self.predictor._predict(
+            model_pts[:, None, :], labels,
             multimask_output=self.multimask_output, return_logits=True,
         )
-        masks = np.asarray(masks)
+        mask_logits = np.asarray(mask_logits)
         iou_preds = np.asarray(iou_preds)
-        low_res_masks = np.asarray(low_res_masks)
-        M = masks.shape[1]
+        slots = mask_logits.shape[1]
+        data: A.Records = {
+            "masks": mask_logits.reshape(-1, *mask_logits.shape[2:]),
+            "iou_preds": iou_preds.reshape(-1),
+            "points": np.repeat(points, slots, axis=0),
+            "low_res_masks": np.asarray(low_res).reshape(
+                -1, *np.asarray(low_res).shape[2:]
+            ),
+        }
+        if self.use_m2m:
+            data = self._refine_m2m(data, crop_hw)
 
-        data = MaskData(
-            masks=masks.reshape(-1, *masks.shape[2:]),
-            iou_preds=iou_preds.reshape(-1),
-            points=np.repeat(points, M, axis=0),
-            low_res_masks=low_res_masks.reshape(-1, *low_res_masks.shape[2:]),
+        if self.pred_iou_thresh > 0.0:
+            data = A.filter_records(
+                data, data["iou_preds"] > self.pred_iou_thresh
+            )
+        data["stability_score"] = A.calculate_stability_score(
+            data["masks"], self.mask_threshold, self.stability_score_offset
         )
-
-        if not self.use_m2m:
-            if self.pred_iou_thresh > 0.0:
-                data.filter(data["iou_preds"] > self.pred_iou_thresh)
-            data["stability_score"] = calculate_stability_score(
-                data["masks"], self.mask_threshold, self.stability_score_offset
+        if self.stability_score_thresh > 0.0:
+            data = A.filter_records(
+                data, data["stability_score"] >= self.stability_score_thresh
             )
-            if self.stability_score_thresh > 0.0:
-                data.filter(data["stability_score"] >= self.stability_score_thresh)
-        else:
-            # one-step refinement with the previous low-res mask (:437-454)
-            in_pts = data["points"] / np.asarray([w, h], np.float32) * \
-                self.predictor.cfg.image_size
-            labels = np.ones((len(in_pts), 1), np.int32)
-            new_masks, new_ious = [], []
-            for cur_pts, cur_lbl, low in batch_iterator(
-                self.points_per_batch, in_pts, labels, data["low_res_masks"]
-            ):
-                m, i, _ = self.predictor._predict(
-                    np.asarray(cur_pts)[:, None, :], np.asarray(cur_lbl),
-                    mask_input=np.asarray(low)[:, None],
-                    multimask_output=False, return_logits=True,
-                )
-                new_masks.append(np.asarray(m))
-                new_ious.append(np.asarray(i))
-            data["masks"] = np.concatenate(new_masks)[:, 0]
-            data["iou_preds"] = np.concatenate(new_ious)[:, 0]
-            if self.pred_iou_thresh > 0.0:
-                data.filter(data["iou_preds"] > self.pred_iou_thresh)
-            data["stability_score"] = calculate_stability_score(
-                data["masks"], self.mask_threshold, self.stability_score_offset
-            )
-            if self.stability_score_thresh > 0.0:
-                data.filter(data["stability_score"] >= self.stability_score_thresh)
 
         data["masks"] = data["masks"] > self.mask_threshold
-        data["boxes"] = batched_mask_to_box(data["masks"])
-
-        keep = ~is_box_near_crop_edge(
+        data["boxes"] = A.batched_mask_to_box(data["masks"])
+        edge = A.touches_crop_edge(
             data["boxes"], crop_box, [0, 0, orig_w, orig_h]
         )
-        if not np.all(keep):
-            data.filter(keep)
+        if edge.any():
+            data = A.filter_records(data, ~edge)
 
-        data["masks"] = uncrop_masks(data["masks"], crop_box, orig_h, orig_w)
-        data["rles"] = mask_to_rle(data["masks"])
+        masks_full = A.uncrop_masks(data["masks"], crop_box, orig_h, orig_w)
+        data["rles"] = A.mask_to_rle(masks_full)
         del data["masks"]
         return data
 
-    @staticmethod
-    def postprocess_small_regions(mask_data: MaskData, min_area: int,
-                                  nms_thresh: float) -> MaskData:
-        """reference :390-435."""
-        if len(mask_data["rles"]) == 0:
-            return mask_data
-        new_masks, scores = [], []
-        for rle in mask_data["rles"]:
-            mask = rle_to_mask(rle)
-            mask, changed = remove_small_regions(mask, min_area, mode="holes")
-            unchanged = not changed
-            mask, changed = remove_small_regions(mask, min_area, mode="islands")
-            unchanged = unchanged and not changed
-            new_masks.append(mask[None])
-            scores.append(float(unchanged))
-        masks = np.concatenate(new_masks, axis=0)
-        boxes = batched_mask_to_box(masks)
-        keep = batched_nms(
-            boxes, np.asarray(scores), np.zeros(len(scores)),
+    def _refine_m2m(self, data: A.Records, crop_hw) -> A.Records:
+        """One refinement pass: feed each mask's low-res logits back with its
+        point (single-mask output)."""
+        h, w = crop_hw
+        model_pts = data["points"] / np.asarray([w, h], np.float32) \
+            * self.predictor.cfg.image_size
+        labels = np.ones((len(model_pts), 1), np.int32)
+        masks, ious = [], []
+        for pts, lbl, low in A.chunked(
+            self.points_per_batch, model_pts, labels, data["low_res_masks"]
+        ):
+            m, i, _ = self.predictor._predict(
+                np.asarray(pts)[:, None, :], np.asarray(lbl),
+                mask_input=np.asarray(low)[:, None],
+                multimask_output=False, return_logits=True,
+            )
+            masks.append(np.asarray(m))
+            ious.append(np.asarray(i))
+        data = dict(data)
+        data["masks"] = np.concatenate(masks)[:, 0]
+        data["iou_preds"] = np.concatenate(ious)[:, 0]
+        return data
+
+    def _clean_small_regions(self, data: A.Records, min_area: int,
+                             nms_thresh: float) -> A.Records:
+        """Fill small holes / drop small islands in every mask, then NMS away
+        duplicates created by the cleanup (unchanged masks win ties)."""
+        if A.num_records(data) == 0:
+            return data
+        cleaned, untouched = [], []
+        for rle in data["rles"]:
+            mask = A.rle_to_mask(rle)
+            mask, filled = A.remove_small_regions(mask, min_area, "holes")
+            mask, dropped = A.remove_small_regions(mask, min_area, "islands")
+            cleaned.append(mask)
+            untouched.append(float(not (filled or dropped)))
+        masks = np.stack(cleaned)
+        boxes = A.batched_mask_to_box(masks)
+        keep = A.batched_nms(
+            boxes, np.asarray(untouched), np.zeros(len(untouched)),
             iou_threshold=nms_thresh,
         )
-        for i_mask in keep:
-            if scores[i_mask] == 0.0:
-                mask_data["rles"][i_mask] = mask_to_rle(masks[i_mask][None])[0]
-                mask_data["boxes"][i_mask] = boxes[i_mask]
-        mask_data.filter(keep)
-        return mask_data
+        rles = list(data["rles"])
+        out_boxes = np.array(data["boxes"], copy=True)
+        for i in keep:
+            if untouched[i] == 0.0:
+                rles[i] = A.mask_to_rle(masks[i][None])[0]
+                out_boxes[i] = boxes[i]
+        data = dict(data)
+        data["rles"] = rles
+        data["boxes"] = out_boxes
+        return A.filter_records(data, keep)

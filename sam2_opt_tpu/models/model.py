@@ -93,13 +93,60 @@ class SAM2Model:
         self._jit_fns.clear()
 
     def speedup(self, backend: str = "xla", use_cache: bool = True, dtype=jnp.bfloat16,
+                model_root_path: Optional[str] = None,
+                calib_dir: Optional[str] = None,
+                activation_quant: bool = True,
                 **_ignored):
         """One-line acceleration, mirroring the reference predictor.speedup()
-        (sam2_image_predictor.py:94-138). Compiles the hot functions to XLA."""
+        (sam2_image_predictor.py:94-138). Compiles the hot functions to XLA.
+
+        backend "int8" (aliases "trt_int8"/"int8_trt" — the reference's
+        `speedup("trt", model_root_path=...)` int8 engines, benchmark.py:172-174)
+        additionally quantizes the encoder linears: weight-only int8 without a
+        calibration dir, full activation-quant int8 when `calib_dir` (or
+        `model_root_path`, accepted for reference call-site compatibility)
+        points at a directory of calibration images. Master params stay fp32 —
+        `speedup("eager")` restores the parity path."""
+        backend = str(backend).lower()
+        if backend in ("int8", "trt_int8", "int8_trt"):
+            self.quantize_int8(
+                calib_dir=calib_dir or model_root_path,
+                activation_quant=activation_quant,
+                dtype=dtype,
+            )
+            return
         self.set_runtime_backend(
             backend="xla" if backend not in ("torch", "eager") else backend,
             args={"dtype": dtype},
         )
+
+    def quantize_int8(self, calib_dir: Optional[str] = None,
+                      activation_quant: bool = True, dtype=jnp.bfloat16,
+                      pattern: Optional[str] = None):
+        """Int8-quantize the encoder hot path (TPU-native analogue of the
+        reference's TRT int8 engines, quant_image_encoder.py:8-75). Quantizes
+        the COMPUTE params only; the fp32 master tree is untouched."""
+        from sam2_opt_tpu.quant.int8 import DEFAULT_QUANT_PATTERN, quantize_params
+
+        pattern = pattern or DEFAULT_QUANT_PATTERN
+        act_scales = None
+        if activation_quant and calib_dir:
+            from sam2_opt_tpu.quant.calibrate import (
+                ImageEncodeCalibratorDataset,
+                collect_activation_scales,
+            )
+
+            ds = ImageEncodeCalibratorDataset(
+                calib_dir, image_size=self.cfg.image_size
+            )
+            act_scales = collect_activation_scales(
+                self.params, self.cfg, ds.batches(), pattern=pattern
+            )
+        self.set_runtime_backend("xla", args={"dtype": dtype})
+        self._compute_params = quantize_params(
+            self._compute_params, pattern, act_scales
+        )
+        self._jit_fns.clear()
 
     # ------------------------------------------------------------------ #
     # compiled seams

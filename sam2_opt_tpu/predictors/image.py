@@ -66,11 +66,19 @@ class SAM2ImagePredictor:
     # ------------------------------------------------------------------ #
 
     def speedup(self, backend: str = "xla", use_cache: bool = True,
-                model_root_path: Optional[str] = None, dtype=jnp.bfloat16):
-        """One-line acceleration. backend in {"torch"/"eager", "xla"} (the
-        reference names "tensorrt"/"onnxruntime" are accepted aliases for
-        "xla"). Warms up the 1024² encode path."""
-        self.model.speedup(backend=backend, use_cache=use_cache, dtype=dtype)
+                model_root_path: Optional[str] = None, dtype=jnp.bfloat16,
+                calib_dir: Optional[str] = None, activation_quant: bool = True):
+        """One-line acceleration. backend in {"torch"/"eager", "xla", "int8"}
+        (the reference names "tensorrt"/"onnxruntime" are accepted aliases for
+        "xla"; "int8" mirrors the reference's `speedup("trt",
+        model_root_path=...)` int8 engines — pass `calib_dir` with calibration
+        images for activation-quant, omit it for weight-only). Warms up the
+        1024² encode path."""
+        self.model.speedup(
+            backend=backend, use_cache=use_cache, dtype=dtype,
+            model_root_path=model_root_path, calib_dir=calib_dir,
+            activation_quant=activation_quant,
+        )
         if self.model.backend == "xla":
             s = self.cfg.image_size
             warm = jnp.zeros((1, s, s, 3), jnp.float32)

@@ -130,8 +130,13 @@ class PalettisedPNGSegmentLoader:
 class MultiplePNGSegmentLoader:
     """SA-V layout: one binary PNG per object per frame under
     <video>/<obj_id>/<frame:05d>.png; missing file = empty mask
-    (reference MultiplePNGSegmentLoader :151-227). Object ids are offset by
-    1 (background is 0)."""
+    (reference MultiplePNGSegmentLoader :151-227).
+
+    Object-id convention: returned ids are <dir name>+1, following the
+    palette convention where id 0 is background. NOTE this differs from
+    JSONSegmentLoader, whose ids are 0-based masklet indices (the SA-V JSON
+    has no background entry) — ids are consistent within a video but the two
+    layouts are NOT cross-comparable by id."""
 
     def __init__(self, video_png_root: str):
         self.root = video_png_root
@@ -163,7 +168,11 @@ class MultiplePNGSegmentLoader:
 class JSONSegmentLoader:
     """SA-V manifest: <video>.json with per-frame lists of COCO RLEs
     ("masklet" field), annotated every `ann_every` frames (6 fps annotations
-    on 24 fps video -> ann_every=4; reference JSONSegmentLoader :23-101)."""
+    on 24 fps video -> ann_every=4; reference JSONSegmentLoader :23-101).
+
+    Object-id convention: ids are 0-based masklet-list indices (there is no
+    background entry in the JSON), unlike MultiplePNGSegmentLoader's
+    palette-style +1 ids — see that class's docstring."""
 
     def __init__(self, video_json_path: str, ann_every: int = 1,
                  frames_fps: int = 24):

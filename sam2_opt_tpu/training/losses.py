@@ -73,10 +73,19 @@ def multistep_multimasks_and_ious(
     focal_alpha: float = 0.25,
     focal_gamma: float = 2.0,
     pred_obj_scores: bool = True,
+    obj_valid=None,
 ) -> Dict[str, jnp.ndarray]:
     """reference MultiStepMultiMasksAndIous (loss_fns.py:126-307): per-step
     multimask losses, supervising the argmin-loss slot; weights follow the MOSE
-    recipe {mask:20, dice:1, iou:1, class:1}."""
+    recipe {mask:20, dice:1, iou:1, class:1}.
+
+    `obj_valid` ([N] bool, optional) marks real object slots: padded slots
+    contribute ZERO to every loss term (the reference never materializes
+    padded objects — it trains a flat obj->img index of real objects only,
+    training/utils/data_utils.py:36-128; here the N axis is fixed-size for
+    jit, so padding is masked out instead). `num_objects` should then be the
+    count of valid objects.
+    """
     if weight_dict is None:
         weight_dict = {"loss_mask": 20.0, "loss_dice": 1.0, "loss_iou": 1.0,
                        "loss_class": 1.0}
@@ -99,15 +108,24 @@ def multistep_multimasks_and_ious(
         loss_mi = iou_loss(masks, target, ious, num_objects)
 
         if pred_obj_scores:
+            # per-object form ([N,1]) so padded slots can be masked below
             loss_class = sigmoid_focal_loss(
                 obj_scores, target_obj, num_objects, alpha=-1.0, gamma=0.0,
+                loss_on_multimask=True,
             )
             # mask losses only supervised where the object exists
             loss_mm = loss_mm * target_obj
             loss_md = loss_md * target_obj
             loss_mi = loss_mi * target_obj
         else:
-            loss_class = 0.0
+            loss_class = jnp.zeros((masks.shape[0], 1), jnp.float32)
+
+        if obj_valid is not None:
+            v = obj_valid.astype(loss_mm.dtype)[:, None]  # [N,1]
+            loss_mm = loss_mm * v
+            loss_md = loss_md * v
+            loss_mi = loss_mi * v
+            loss_class = loss_class * v
 
         # supervise the slot with the lowest combined mask loss (:126 doc)
         combined = (

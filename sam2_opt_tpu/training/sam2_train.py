@@ -207,6 +207,7 @@ def forward_tracking(
     num_correction_clicks: int = 1,
     use_remat: bool = True,
     frames_to_add_correction_pt: Tuple[int, ...] = (),
+    obj_valid=None,
 ):
     """Simulated interactive tracking over T frames (reference
     model/sam2.py:269-447 forward_tracking + track_step).
@@ -324,6 +325,15 @@ def forward_tracking(
             params, cfg, f2, high_res, obj_score,
             is_mask_from_pts=is_init,
         )
+        if obj_valid is not None:
+            # Padded object slots never enter memory (the reference trains
+            # only real objects, training/utils/data_utils.py:36-128). The
+            # object axis is the batch axis here, so this is belt-and-braces
+            # — padded slots cannot contaminate real ones — but it keeps
+            # their rollout inert and their loss exactly zero.
+            vb = obj_valid.astype(maskmem.dtype)
+            maskmem = maskmem * vb[:, None, None, None]
+            obj_ptr = obj_ptr * vb[:, None].astype(obj_ptr.dtype)
         mem_feats.append(maskmem)
         obj_ptrs.append(obj_ptr)
         t_pos_list.append(min(t, cfg.num_maskmem - 1))
@@ -340,22 +350,35 @@ def forward_tracking(
 
 
 def video_train_loss(params, cfg: SAM2Config, images, gt_masks, rng,
-                     **kwargs):
+                     obj_valid=None, **kwargs):
     """Scalar training loss over one video (multistep multimask loss across
     frames, reference loss_fns.py:126 MultiStepMultiMasksAndIous). Every
     correction step of every frame is supervised, matching the reference's
-    multistep lists."""
+    multistep lists.
+
+    `obj_valid` ([N_obj] bool, optional): real-object mask from the data
+    pipeline's fixed-size object padding. Padded slots are excluded from every
+    loss term AND from the num_objects normalizer, so appending a padded slot
+    leaves the loss unchanged (reference supervises only real objects,
+    training/utils/data_utils.py:36-128)."""
     masks, ious, scores, targets = forward_tracking(
-        params, cfg, images, gt_masks, rng, **kwargs
+        params, cfg, images, gt_masks, rng, obj_valid=obj_valid, **kwargs
     )
     B = gt_masks.shape[1]
+    if obj_valid is None:
+        num_objects = float(B)
+    else:
+        num_objects = jnp.maximum(
+            jnp.sum(obj_valid.astype(jnp.float32)), 1.0
+        )
     total = 0.0
     aux = {"loss_mask": 0.0, "loss_dice": 0.0, "loss_iou": 0.0, "loss_class": 0.0}
     for m, i, s, tgt in zip(masks, ious, scores, targets):
         tgt_hr = tgt.astype(jnp.float32)
         ld = L.multistep_multimasks_and_ious(
-            m, i, s, tgt_hr, float(B),
+            m, i, s, tgt_hr, num_objects,
             pred_obj_scores=cfg.pred_obj_scores,
+            obj_valid=obj_valid,
         )
         total = total + ld["core_loss"]
         for k in aux:

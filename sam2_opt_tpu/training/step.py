@@ -114,8 +114,6 @@ def make_train_step(cfg: SAM2Config, optimizer, mesh=None):
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
 
-    param_sh = None  # resolved at first call via state shardings
-
     data_sh4 = mesh_lib.data_sharded(mesh, 4)
     return jax.jit(
         step_fn,

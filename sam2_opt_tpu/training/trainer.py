@@ -133,13 +133,14 @@ class Trainer:
         optimizer = self.optimizer
         frozen_encoder = tcfg.freeze_image_encoder
 
-        def loss_fn(params, images, masks, rng):
+        def loss_fn(params, images, masks, obj_valid, rng):
             B = images.shape[0]
             keys = jax.random.split(rng, B)
 
-            def one_video(img, msk, key):
+            def one_video(img, msk, valid, key):
                 return sam2_train.video_train_loss(
                     params, cfg, img, msk, key,
+                    obj_valid=valid,
                     num_correction_clicks=tcfg.num_correction_clicks,
                     use_box_input=use_box,
                     use_mask_input=use_mask,
@@ -149,12 +150,12 @@ class Trainer:
 
             # vmap over the video batch (the reference python-loops videos;
             # vmap compiles ONE batched rollout instead of B copies)
-            losses, auxs = jax.vmap(one_video)(images, masks, keys)
+            losses, auxs = jax.vmap(one_video)(images, masks, obj_valid, keys)
             return jnp.mean(losses), {k: jnp.mean(v) for k, v in auxs.items()}
 
-        def step(params, opt_state, images, masks, rng, lr):
+        def step(params, opt_state, images, masks, obj_valid, rng, lr):
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, images, masks, rng
+                params, images, masks, obj_valid, rng
             )
             if frozen_encoder:
                 # zero grads so the frozen block doesn't inflate the global
@@ -186,10 +187,11 @@ class Trainer:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         data5 = NamedSharding(self.mesh, P("data", None, None, None, None))
+        data2 = NamedSharding(self.mesh, P("data", None))
         return jax.jit(
             step,
             donate_argnums=(0, 1),
-            in_shardings=(None, None, data5, data5, None, None),
+            in_shardings=(None, None, data5, data5, data2, None, None),
         )
 
     # ------------------------------------------------------------------ #
@@ -262,18 +264,22 @@ class Trainer:
         t_data = time.time()
         for batch in loader:
             data_time.update(time.time() - t_data)
-            images = jnp.asarray(
-                batch["images"], jnp.float32
-            ).transpose(0, 1, 2, 3, 4) / 255.0
+            images = jnp.asarray(batch["images"], jnp.float32) / 255.0
             masks = jnp.asarray(batch["masks"])
             # [B, T, N, S, S] -> per-video [T, N, S, S] handled in loss
             T = images.shape[1]
+            N = masks.shape[2]
+            obj_valid = jnp.asarray(
+                batch.get("obj_valid",
+                          np.ones((images.shape[0], N), bool))
+            )
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 sh = NamedSharding(self.mesh, P("data"))
                 images = jax.device_put(images, sh)
                 masks = jax.device_put(masks, sh)
+                obj_valid = jax.device_put(obj_valid, sh)
             self._rng, key = jax.random.split(self._rng)
             where = self.steps / max(total_steps, 1)
             lr = jnp.asarray(self.optimizer.lr_at(where), jnp.float32)
@@ -304,7 +310,7 @@ class Trainer:
 
             t0 = time.time()
             self.params, self.opt_state, metrics = step_fn(
-                self.params, self.opt_state, images, masks, key, lr
+                self.params, self.opt_state, images, masks, obj_valid, key, lr
             )
             loss = float(metrics["loss"])
             step_time.update(time.time() - t0)
@@ -328,16 +334,17 @@ class Trainer:
         sample — unusably slow at 1024²; here it's one vmapped jit graph)."""
         cfg = self.cfg
 
-        def val_loss(params, images, masks, rng):
+        def val_loss(params, images, masks, obj_valid, rng):
             keys = jax.random.split(rng, images.shape[0])
 
-            def one(img, msk, key):
+            def one(img, msk, valid, key):
                 loss, _ = sam2_train.video_train_loss(
-                    params, cfg, img, msk, key, num_correction_clicks=0,
+                    params, cfg, img, msk, key, obj_valid=valid,
+                    num_correction_clicks=0,
                 )
                 return loss
 
-            return jnp.mean(jax.vmap(one)(images, masks, keys))
+            return jnp.mean(jax.vmap(one)(images, masks, obj_valid, keys))
 
         return jax.jit(val_loss)
 
@@ -351,9 +358,14 @@ class Trainer:
         for batch in loader:
             images = jnp.asarray(batch["images"], jnp.float32) / 255.0
             masks = jnp.asarray(batch["masks"])
+            obj_valid = jnp.asarray(
+                batch.get("obj_valid",
+                          np.ones((images.shape[0], masks.shape[2]), bool))
+            )
             self._rng, key = jax.random.split(self._rng)
-            loss_meter.update(float(val_fn(self.params, images, masks, key)),
-                              n=images.shape[0])
+            loss_meter.update(
+                float(val_fn(self.params, images, masks, obj_valid, key)),
+                n=images.shape[0])
         self.tb.log("val/loss", loss_meter.avg, self.steps)
         if loss_meter.avg < self.best_val_loss:
             self.best_val_loss = loss_meter.avg

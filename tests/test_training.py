@@ -169,6 +169,46 @@ def test_correction_clicks_on_tracked_frame(tiny128_cfg, tiny128_params):
     assert len(masks2[1]) == 1
 
 
+def test_obj_valid_padded_slot_is_inert(tiny128_cfg, tiny128_params):
+    """VERDICT r2 #3: appending a padded object slot (obj_valid=False) leaves
+    the training loss unchanged — padded slots are excluded from every loss
+    term and from the num_objects normalizer, and never enter memory
+    (reference trains only real objects, training/utils/data_utils.py:36-128)."""
+    import functools
+
+    from sam2_opt_tpu.training import sam2_train
+
+    cfg = tiny128_cfg
+    T = 2
+    rng = np.random.default_rng(7)
+    images = jnp.asarray(rng.random((T, 128, 128, 3)), jnp.float32)
+    gt = np.zeros((T, 1, 128, 128), bool)
+    gt[:, :, 30:90, 40:100] = True
+
+    # mask-prompt init + no correction clicks -> the rollout consumes no RNG,
+    # so the only difference between the two runs is the padded slot
+    loss_fn = jax.jit(functools.partial(
+        sam2_train.video_train_loss, tiny128_params, cfg,
+        use_mask_input=True, num_correction_clicks=0, use_remat=False,
+    ))
+
+    l1, aux1 = loss_fn(images, jnp.asarray(gt), jax.random.PRNGKey(0),
+                       obj_valid=jnp.asarray([True]))
+    gt_padded = np.concatenate([gt, np.zeros_like(gt)], axis=1)
+    l2, aux2 = loss_fn(images, jnp.asarray(gt_padded), jax.random.PRNGKey(0),
+                       obj_valid=jnp.asarray([True, False]))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for k in aux1:
+        np.testing.assert_allclose(float(aux1[k]), float(aux2[k]), rtol=1e-6,
+                                   err_msg=k)
+
+    # and a padded slot is NOT free loss reduction: marking it valid changes
+    # the normalizer, so the loss must differ
+    l3, _ = loss_fn(images, jnp.asarray(gt_padded), jax.random.PRNGKey(0),
+                    obj_valid=jnp.asarray([True, True]))
+    assert abs(float(l3) - float(l1)) > 1e-6
+
+
 def test_trainer_with_mesh(tmp_path, tiny128_cfg):
     """Trainer wired to a real mesh (VERDICT r1 item #4): batch sharded on
     "data", params under the TP rule, 2 steps on a fixed batch with the

@@ -83,6 +83,29 @@ def convert_state_dict(state_dict: Mapping[str, np.ndarray], dtype=np.float32) -
     return tree
 
 
+def infer_variant(state_dict: Mapping[str, "np.ndarray"]) -> str:
+    """Infer the model variant from a reference `sd["model"]` state_dict by
+    trunk depth + embed dim (reference build_sam.py maps config names to
+    these; checkpoints carry no explicit variant tag)."""
+    depth = 1 + max(
+        int(m.group(1))
+        for k in state_dict
+        for m in [re.match(r"image_encoder\.trunk\.blocks\.(\d+)\.", k)]
+        if m
+    )
+    embed_dim = np.asarray(
+        state_dict["image_encoder.trunk.patch_embed.proj.weight"]
+    ).shape[0]
+    table = {(12, 96): "hiera_t", (16, 96): "hiera_s",
+             (24, 112): "hiera_b+", (48, 144): "hiera_l"}
+    try:
+        return table[(depth, embed_dim)]
+    except KeyError:
+        raise ValueError(
+            f"unrecognized checkpoint: trunk depth {depth}, embed {embed_dim}"
+        )
+
+
 def load_torch_checkpoint(path: str, dtype=np.float32) -> Dict:
     """Load a reference .pt checkpoint (expects sd["model"], matching
     build_sam.py:164-174) and convert to a params tree. Requires torch."""

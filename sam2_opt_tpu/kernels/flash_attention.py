@@ -68,6 +68,131 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scr, l_scr, acc_scr, *,
         o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
 
 
+def _kernel_rope(q_ref, k_ref, v_ref, mask_ref, cos_ref, sin_ref, o_ref,
+                 m_scr, l_scr, acc_scr, *, scale: float, num_kv_blocks: int,
+                 d_half: int):
+    """Flash attention with partial RoPE applied to K IN-KERNEL, in the
+    de-interleaved split channel layout (see ops/posenc.py split_perm): the
+    kv stream is rotated as it is loaded, so K never makes an extra HBM
+    round trip through an XLA rotary op (reference applies RoPE to keys
+    before SDPA every layer, transformer.py:392-418). Identity rows
+    (cos=1, sin=0) in the tables express the reference's
+    `num_k_exclude_rope` obj-ptr exclusion with zero control flow."""
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # [bq, d] (already rotated by the wrapper)
+    k = k_ref[0]  # [bk, d] unrotated, split layout
+    c = cos_ref[...]  # [bk, d_half]
+    s_t = sin_ref[...]
+    k1 = k[:, :d_half]
+    k2 = k[:, d_half : 2 * d_half]
+    kr = jnp.concatenate([k1 * c - k2 * s_t, k1 * s_t + k2 * c], axis=1)
+    if 2 * d_half < k.shape[1]:
+        kr = jnp.concatenate([kr, k[:, 2 * d_half :]], axis=1)
+
+    s = jax.lax.dot_general(
+        q, kr, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale
+    mask = mask_ref[0]  # [1, bk]
+    s = jnp.where(mask > 0, s, NEG_INF)
+
+    m_prev = m_scr[:, :1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+
+    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ik == num_kv_blocks - 1)
+    def _finish():
+        l = l_scr[:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
+def _kernel_rope_kvproj(q_ref, k_ref, v_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                        mask_ref, cos_ref, sin_ref, o_ref,
+                        m_scr, l_scr, acc_scr, *, scale: float,
+                        num_kv_blocks: int, d_half: int):
+    """Flash attention with the per-layer K/V PROJECTIONS (mem_dim -> d_model,
+    reference memory_attention.py cross_attn kv_in_dim=64) fused in-kernel on
+    top of the RoPE fusion: the kv stream stays mem_dim wide in HBM (4x less
+    kv traffic at d=256/mem_dim=64) and the projected K/V tensors never
+    materialize. Biases ride along; K is rotated after projection exactly as
+    the unfused path does."""
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]    # [bq, d] (already projected + rotated by the wrapper)
+    k64 = k_ref[0]  # [bk, dm_pad] pos-added memory tokens
+    v64 = v_ref[0]
+    kp = jax.lax.dot_general(
+        k64, wk_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bk_ref[...]
+    kp = kp.astype(q.dtype)  # match the unfused path's bf16 projection output
+    c = cos_ref[...]
+    s_t = sin_ref[...]
+    k1 = kp[:, :d_half]
+    k2 = kp[:, d_half : 2 * d_half]
+    kr = jnp.concatenate([k1 * c - k2 * s_t, k1 * s_t + k2 * c], axis=1)
+    if 2 * d_half < kp.shape[1]:
+        kr = jnp.concatenate([kr, kp[:, 2 * d_half :]], axis=1)
+
+    s = jax.lax.dot_general(
+        q, kr, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale
+    mask = mask_ref[0]
+    s = jnp.where(mask > 0, s, NEG_INF)
+
+    m_prev = m_scr[:, :1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+
+    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    vp = jax.lax.dot_general(
+        v64, wv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bv_ref[...]
+    vp = vp.astype(q.dtype)
+    pv = jax.lax.dot_general(
+        p.astype(vp.dtype), vp, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ik == num_kv_blocks - 1)
+    def _finish():
+        l = l_scr[:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
 def _pad_to(x, size, axis, value=0.0):
     pad = size - x.shape[axis]
     if pad <= 0:
@@ -101,6 +226,274 @@ def _forward_impl(scale, bq, bk, interpret, qf, kf, vf, maskf):
         ],
         interpret=interpret,
     )(qf, kf, vf, maskf)
+
+
+def _forward_impl_rope(scale, bq, bk, interpret, d_half, qf, kf, vf, maskf,
+                       cosf, sinf):
+    """Rope-fused padded-layout forward. cosf/sinf: [skv_pad, d_half]."""
+    N, sq_pad, d_pad = qf.shape
+    skv_pad = kf.shape[1]
+    nq = sq_pad // bq
+    nk = skv_pad // bk
+    return pl.pallas_call(
+        functools.partial(_kernel_rope, scale=scale, num_kv_blocks=nk,
+                          d_half=d_half),
+        grid=(N, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, bq, d_pad), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, bk, d_pad), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, bk, d_pad), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, 1, bk), lambda b, iq, ik: (b, 0, ik)),
+            pl.BlockSpec((bk, d_half), lambda b, iq, ik: (ik, 0)),
+            pl.BlockSpec((bk, d_half), lambda b, iq, ik: (ik, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d_pad), lambda b, iq, ik: (b, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, sq_pad, d_pad), qf.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, maskf, cosf, sinf)
+
+
+def _rotate_split32(x, c, s, d_half):
+    """fp32 split-layout rotation on [..., d]; tail channels untouched."""
+    x1 = x[..., :d_half]
+    x2 = x[..., d_half : 2 * d_half]
+    out = jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c], axis=-1)
+    if x.shape[-1] > 2 * d_half:
+        out = jnp.concatenate([out, x[..., 2 * d_half :]], axis=-1)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _attn_core_rope(scale, bq, bk, interpret, d_half, qf, kf, vf, maskf,
+                    cosf, sinf):
+    """Differentiable seam for the rope-fused kernel (exact softmax-recompute
+    backward; rotation is linear, so dK is the transpose rotation of dK_rot)."""
+    return _forward_impl_rope(scale, bq, bk, interpret, d_half, qf, kf, vf,
+                              maskf, cosf, sinf)
+
+
+def _attn_rope_fwd(scale, bq, bk, interpret, d_half, qf, kf, vf, maskf,
+                   cosf, sinf):
+    out = _forward_impl_rope(scale, bq, bk, interpret, d_half, qf, kf, vf,
+                             maskf, cosf, sinf)
+    return out, (qf, kf, vf, maskf, cosf, sinf)
+
+
+def _attn_rope_bwd(scale, bq, bk, interpret, d_half, res, do):
+    qf, kf, vf, maskf, cosf, sinf = res
+    q32 = qf.astype(jnp.float32)
+    c32 = cosf.astype(jnp.float32)[None]  # [1, skv, d_half]
+    s32 = sinf.astype(jnp.float32)[None]
+    k32 = _rotate_split32(kf.astype(jnp.float32), c32, s32, d_half)
+    v32 = vf.astype(jnp.float32)
+    do32 = do.astype(jnp.float32)
+    s = jnp.einsum("nqd,nkd->nqk", q32, k32) * scale
+    s = jnp.where(maskf > 0, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / jnp.where(l == 0.0, 1.0, l)
+    dv = jnp.einsum("nqk,nqd->nkd", p, do32)
+    dp = jnp.einsum("nqd,nkd->nqk", do32, v32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("nqk,nkd->nqd", ds, k32) * scale
+    dkr = jnp.einsum("nqk,nqd->nkd", ds, q32) * scale
+    # transpose of the forward rotation: dk1 = c*dkr1 + s*dkr2,
+    # dk2 = -s*dkr1 + c*dkr2
+    dkr1 = dkr[..., :d_half]
+    dkr2 = dkr[..., d_half : 2 * d_half]
+    dk = jnp.concatenate([c32 * dkr1 + s32 * dkr2,
+                          -s32 * dkr1 + c32 * dkr2], axis=-1)
+    if dkr.shape[-1] > 2 * d_half:
+        dk = jnp.concatenate([dk, dkr[..., 2 * d_half :]], axis=-1)
+    return (
+        dq.astype(qf.dtype),
+        dk.astype(kf.dtype),
+        dv.astype(vf.dtype),
+        jnp.zeros_like(maskf),
+        jnp.zeros_like(cosf),
+        jnp.zeros_like(sinf),
+    )
+
+
+_attn_core_rope.defvjp(_attn_rope_fwd, _attn_rope_bwd)
+
+
+def _forward_impl_rope_kvproj(scale, bq, bk, interpret, d_half,
+                              qf, kf, vf, wk, bkb, wv, bvb, maskf, cosf, sinf):
+    """kv-projection-fused padded-layout forward. kf/vf [N, skv_pad, dm_pad];
+    wk/wv [dm_pad, d_pad]; bkb/bvb [1, d_pad]; cosf/sinf [skv_pad, d_half]."""
+    N, sq_pad, d_pad = qf.shape
+    skv_pad = kf.shape[1]
+    dm_pad = kf.shape[2]
+    nq = sq_pad // bq
+    nk = skv_pad // bk
+    return pl.pallas_call(
+        functools.partial(_kernel_rope_kvproj, scale=scale, num_kv_blocks=nk,
+                          d_half=d_half),
+        grid=(N, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, bq, d_pad), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, bk, dm_pad), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, bk, dm_pad), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((dm_pad, d_pad), lambda b, iq, ik: (0, 0)),
+            pl.BlockSpec((1, d_pad), lambda b, iq, ik: (0, 0)),
+            pl.BlockSpec((dm_pad, d_pad), lambda b, iq, ik: (0, 0)),
+            pl.BlockSpec((1, d_pad), lambda b, iq, ik: (0, 0)),
+            pl.BlockSpec((1, 1, bk), lambda b, iq, ik: (b, 0, ik)),
+            pl.BlockSpec((bk, d_half), lambda b, iq, ik: (ik, 0)),
+            pl.BlockSpec((bk, d_half), lambda b, iq, ik: (ik, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d_pad), lambda b, iq, ik: (b, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, sq_pad, d_pad), qf.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, wk, bkb, wv, bvb, maskf, cosf, sinf)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _attn_core_rope_kvproj(scale, bq, bk, interpret, d_half, qf, kf, vf,
+                           wk, bkb, wv, bvb, maskf, cosf, sinf):
+    """Differentiable seam for the kv-projection-fused kernel: exact XLA
+    recompute backward with the projection/rotation chain rules."""
+    return _forward_impl_rope_kvproj(scale, bq, bk, interpret, d_half,
+                                     qf, kf, vf, wk, bkb, wv, bvb,
+                                     maskf, cosf, sinf)
+
+
+def _attn_rope_kvproj_fwd(scale, bq, bk, interpret, d_half, qf, kf, vf,
+                          wk, bkb, wv, bvb, maskf, cosf, sinf):
+    out = _forward_impl_rope_kvproj(scale, bq, bk, interpret, d_half,
+                                    qf, kf, vf, wk, bkb, wv, bvb,
+                                    maskf, cosf, sinf)
+    return out, (qf, kf, vf, wk, bkb, wv, bvb, maskf, cosf, sinf)
+
+
+def _attn_rope_kvproj_bwd(scale, bq, bk, interpret, d_half, res, do):
+    qf, kf, vf, wk, bkb, wv, bvb, maskf, cosf, sinf = res
+    in_dt = qf.dtype
+    q32 = qf.astype(jnp.float32)
+    k64 = kf.astype(jnp.float32)
+    v64 = vf.astype(jnp.float32)
+    wk32 = wk.astype(jnp.float32)
+    wv32 = wv.astype(jnp.float32)
+    c32 = cosf.astype(jnp.float32)[None]
+    s32 = sinf.astype(jnp.float32)[None]
+    do32 = do.astype(jnp.float32)
+    # recompute (mirroring the kernel's bf16 projection output rounding is
+    # not needed for gradient accuracy — fp32 recompute is the standard
+    # flash-attention backward tradeoff)
+    kp = jnp.einsum("nsm,md->nsd", k64, wk32) + bkb.astype(jnp.float32)[None]
+    krot = _rotate_split32(kp, c32, s32, d_half)
+    vp = jnp.einsum("nsm,md->nsd", v64, wv32) + bvb.astype(jnp.float32)[None]
+    s = jnp.einsum("nqd,nkd->nqk", q32, krot) * scale
+    s = jnp.where(maskf > 0, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / jnp.where(l == 0.0, 1.0, l)
+    dvp = jnp.einsum("nqk,nqd->nkd", p, do32)
+    dp = jnp.einsum("nqd,nkd->nqk", do32, vp)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("nqk,nkd->nqd", ds, krot) * scale
+    dkrot = jnp.einsum("nqk,nqd->nkd", ds, q32) * scale
+    # inverse rotation, then the projection chain rule
+    dkr1 = dkrot[..., :d_half]
+    dkr2 = dkrot[..., d_half : 2 * d_half]
+    dkp = jnp.concatenate([c32 * dkr1 + s32 * dkr2,
+                           -s32 * dkr1 + c32 * dkr2], axis=-1)
+    if dkrot.shape[-1] > 2 * d_half:
+        dkp = jnp.concatenate([dkp, dkrot[..., 2 * d_half :]], axis=-1)
+    dwk = jnp.einsum("nsm,nsd->md", k64, dkp)
+    dbk = jnp.sum(dkp, axis=(0, 1), keepdims=False)[None]
+    dkf = jnp.einsum("nsd,md->nsm", dkp, wk32)
+    dwv = jnp.einsum("nsm,nsd->md", v64, dvp)
+    dbv = jnp.sum(dvp, axis=(0, 1), keepdims=False)[None]
+    dvf = jnp.einsum("nsd,md->nsm", dvp, wv32)
+    return (
+        dq.astype(in_dt),
+        dkf.astype(kf.dtype),
+        dvf.astype(vf.dtype),
+        dwk.astype(wk.dtype),
+        dbk.astype(bkb.dtype),
+        dwv.astype(wv.dtype),
+        dbv.astype(bvb.dtype),
+        jnp.zeros_like(maskf),
+        jnp.zeros_like(cosf),
+        jnp.zeros_like(sinf),
+    )
+
+
+_attn_core_rope_kvproj.defvjp(_attn_rope_kvproj_fwd, _attn_rope_kvproj_bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+)
+def flash_attention_kv_proj(
+    q, mem_k, mem_v, wk, bk_bias, wv, bv_bias, kv_mask=None,
+    rope_cos_k=None, rope_sin_k=None, *,
+    block_q: Optional[int] = None, block_k: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Memory-attention cross layer with the per-layer K/V projections fused
+    into the flash kernel. q [B, 1, Sq, D] is already projected (and
+    RoPE-rotated, in the split layout); mem_k/mem_v [B, Skv, Dm] are the
+    mem_dim-wide memory tokens (mem_k with positions pre-added); wk/wv
+    [Dm, D], biases [D]. rope tables are REQUIRED (this kernel exists for the
+    memory-attention shape, reference memory_attention.py:263-349).
+
+    Returns [B, 1, Sq, D].
+    """
+    B, H, Sq, D = q.shape
+    assert H == 1, "kv-proj fusion implemented for single-head cross-attn"
+    Skv, Dm = mem_k.shape[1], mem_k.shape[2]
+    scale = 1.0 / math.sqrt(D)
+    d_half = D // 2
+    assert rope_cos_k is not None and rope_cos_k.shape == (Skv, d_half)
+
+    d_pad = max(128, ((D + 127) // 128) * 128)
+    dm_pad = max(128, ((Dm + 127) // 128) * 128)
+    # (2048, 1024) overflows the 16M scoped VMEM here (the in-flight fp32
+    # logit block is bq*bk*4 bytes and the fused projections add ~2M);
+    # (1024, 1024) is the v5e sweet spot for this kernel
+    if block_q is None:
+        block_q = 1024 if q.dtype.itemsize <= 2 else 512
+    if block_k is None:
+        block_k = 1024
+    bq = min(block_q, max(128, ((Sq + 127) // 128) * 128))
+    bk = min(block_k, max(128, ((Skv + 127) // 128) * 128))
+    sq_pad = ((Sq + bq - 1) // bq) * bq
+    skv_pad = ((Skv + bk - 1) // bk) * bk
+
+    if kv_mask is None:
+        kv_mask = jnp.ones((B, Skv), jnp.bool_)
+    maskf = _pad_to(kv_mask.astype(jnp.float32), skv_pad, 1)[:, None, :]
+
+    qf = _pad_to(_pad_to(q[:, 0], sq_pad, 1), d_pad, 2)
+    kf = _pad_to(_pad_to(mem_k, skv_pad, 1), dm_pad, 2)
+    vf = _pad_to(_pad_to(mem_v, skv_pad, 1), dm_pad, 2)
+    wkp = _pad_to(_pad_to(wk, dm_pad, 0), d_pad, 1).astype(q.dtype)
+    wvp = _pad_to(_pad_to(wv, dm_pad, 0), d_pad, 1).astype(q.dtype)
+    bkp = _pad_to(bk_bias[None], d_pad, 1).astype(jnp.float32)
+    bvp = _pad_to(bv_bias[None], d_pad, 1).astype(jnp.float32)
+    cosf = _pad_to(rope_cos_k.astype(q.dtype), skv_pad, 0, value=1.0)
+    sinf = _pad_to(rope_sin_k.astype(q.dtype), skv_pad, 0, value=0.0)
+
+    out = _attn_core_rope_kvproj(
+        scale, bq, bk, interpret, d_half, qf, kf, vf, wkp, bkp, wvp, bvp,
+        maskf, cosf, sinf,
+    )
+    return out[:, None, :Sq, :D]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
@@ -148,20 +541,34 @@ _attn_core.defvjp(_attn_fwd, _attn_bwd)
     jax.jit, static_argnames=("block_q", "block_k", "interpret")
 )
 def flash_attention(
-    q, k, v, kv_mask=None, *, block_q: Optional[int] = None,
+    q, k, v, kv_mask=None, rope_cos_k=None, rope_sin_k=None, *,
+    block_q: Optional[int] = None,
     block_k: Optional[int] = None, interpret: bool = False,
 ):
-    # Default blocks autotuned on v5e for the memory-attention cross shape
-    # (4096 q x 28.8k kv, d 256): (1024, 1024) streams kv from HBM 4x
-    # instead of 16x -> 5.5 ms vs 7.7 ms for the 4-layer stack. Larger
-    # blocks (2048+) overflow the 16M scoped VMEM at d_pad=256, and so do
-    # the (1024, 1024) blocks for 4-byte (fp32) inputs — those get half-size
-    # q blocks.
+    # Default blocks autotuned on v5e (tools/tune_flash_blocks.py):
+    # - plain path (1024, 1024): streams kv from HBM 4x instead of 16x for
+    #   the memory-attention shapes -> 5.5 ms vs 7.7 ms for the 4-layer
+    #   stack pre-fusion;
+    # - rope-fused path (2048, 1024): the kernel carries cos/sin blocks but
+    #   no separate rotated-K tensor, leaving VMEM headroom for double-width
+    #   q blocks — 3.86 ms vs 4.07 ms at (1024, 1024) for the 4-layer stack.
+    # Larger blocks overflow the 16M scoped VMEM at d_pad=256, as do these
+    # sizes for 4-byte (fp32) inputs — those get half-size q blocks.
     if block_q is None:
-        block_q = 1024 if q.dtype.itemsize <= 2 else 512
+        if rope_cos_k is not None:
+            block_q = 2048 if q.dtype.itemsize <= 2 else 512
+        else:
+            block_q = 1024 if q.dtype.itemsize <= 2 else 512
     if block_k is None:
         block_k = 1024
     """q [B,H,Sq,D], k/v [B,H,Skv,D], kv_mask optional [B,Skv] bool.
+
+    `rope_cos_k`/`rope_sin_k` (optional, [Skv, D//2]): per-pair rotation
+    tables in the SPLIT channel layout (ops/posenc.py). When given, K is
+    rotated inside the kernel as each kv block streams from HBM — q must
+    already be rotated (and projected with split_perm-permuted weights).
+    Rows where (cos, sin) = (1, 0) pass through unrotated, expressing the
+    reference's partial-RoPE obj-ptr exclusion (transformer.py:392-418).
 
     Returns [B,H,Sq,D] with torch-SDPA semantics (scale 1/sqrt(D)).
     """
@@ -187,6 +594,17 @@ def flash_attention(
     kf = _pad_to(_pad_to(k, skv_pad, 2), d_pad, 3).reshape(B * H, skv_pad, d_pad)
     vf = _pad_to(_pad_to(v, skv_pad, 2), d_pad, 3).reshape(B * H, skv_pad, d_pad)
 
-    out = _attn_core(scale, bq, bk, interpret, qf, kf, vf, maskf)
+    if rope_cos_k is not None:
+        d_half = D // 2
+        assert rope_cos_k.shape == (Skv, d_half), (
+            f"rope tables {rope_cos_k.shape} != ({Skv}, {d_half})"
+        )
+        # pad rows with the identity rotation so padding slots stay inert
+        cosf = _pad_to(rope_cos_k.astype(q.dtype), skv_pad, 0, value=1.0)
+        sinf = _pad_to(rope_sin_k.astype(q.dtype), skv_pad, 0, value=0.0)
+        out = _attn_core_rope(scale, bq, bk, interpret, d_half, qf, kf, vf,
+                              maskf, cosf, sinf)
+    else:
+        out = _attn_core(scale, bq, bk, interpret, qf, kf, vf, maskf)
     out = out.reshape(B, H, sq_pad, d_pad)[:, :, :Sq, :D]
     return out

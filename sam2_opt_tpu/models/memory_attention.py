@@ -35,15 +35,85 @@ def _rope_tables(dim: int, end_x: int, end_y: int, theta: float):
     return posenc.axial_rope_cos_sin(dim, end_x, end_y, theta)
 
 
+@lru_cache(maxsize=8)
+def _rope_half_tables(dim: int, end_x: int, end_y: int, theta: float):
+    return posenc.rope_half_tables(dim, end_x, end_y, theta)
+
+
+@lru_cache(maxsize=8)
+def _kv_half_tables(dim: int, end_x: int, end_y: int, theta: float,
+                    reps: int, n_extra: int):
+    """Split-layout K tables for the fixed-capacity memory: the axial table
+    tiled per 4096-token frame (rope_k_repeat, transformer.py:380-381) plus
+    identity rows for the never-rotated obj-ptr tokens
+    (num_k_exclude_rope, transformer.py:392-418)."""
+    import numpy as np
+
+    c, s = posenc.rope_half_tables(dim, end_x, end_y, theta)
+    c = np.concatenate(
+        [np.tile(c, (reps, 1)), np.ones((n_extra, c.shape[1]), c.dtype)]
+    )
+    s = np.concatenate(
+        [np.tile(s, (reps, 1)), np.zeros((n_extra, s.shape[1]), s.dtype)]
+    )
+    return c, s
+
+
+def _use_fused_rope(q_len: int, kv_len: int) -> bool:
+    """Route through the rope-fused Pallas kernel (SAM2_TPU_FUSED_ROPE,
+    default on) when the flash kernel would be used anyway: K is then
+    rotated in-kernel as the kv stream loads, instead of making an extra
+    HBM round trip through an XLA rotary op per layer."""
+    import os
+
+    if os.environ.get("SAM2_TPU_FUSED_ROPE", "1") == "0":
+        return False
+    return ops.use_flash_attention() and q_len * kv_len >= 1024 * 1024
+
+
+def _use_fused_kv_proj() -> bool:
+    """Fuse the cross-attn K/V projections into the flash kernel
+    (SAM2_TPU_FUSED_KV_PROJ, default on; single-head cross-attn only)."""
+    import os
+
+    return os.environ.get("SAM2_TPU_FUSED_KV_PROJ", "1") != "0"
+
+
+def _perm_proj(p, perm):
+    """Permute the OUTPUT channels of a projection so rotation operates on
+    contiguous half-lanes (ops/posenc.py split_perm). Weight is [in, out]."""
+    out = {"weight": p["weight"][:, perm]}
+    if "bias" in p:
+        out["bias"] = p["bias"][perm]
+    return out
+
+
 def rope_self_attention(p, cfg: MemoryAttentionConfig, q_in, k_in, v_in):
     """RoPE self-attention over the current frame's 4096 tokens
     (reference transformer.py:345-424 with q_len == k_len)."""
     num_heads = cfg.num_heads
+    ex, ey = cfg.rope_feat_sizes
+    head_dim = p["q_proj"]["weight"].shape[1] // num_heads
+
+    if _use_fused_rope(q_in.shape[1], k_in.shape[1]) and q_in.shape[1] == ex * ey:
+        from sam2_opt_tpu.kernels.flash_attention import flash_attention
+
+        perm = posenc.split_perm(head_dim, num_heads)
+        q = ops.separate_heads(ops.linear(_perm_proj(p["q_proj"], perm), q_in),
+                               num_heads)
+        k = ops.separate_heads(ops.linear(_perm_proj(p["k_proj"], perm), k_in),
+                               num_heads)
+        v = ops.separate_heads(ops.linear(p["v_proj"], v_in), num_heads)
+        c, s = _rope_half_tables(head_dim, ex, ey, cfg.rope_theta)
+        cj = jnp.asarray(c, q.dtype)
+        sj = jnp.asarray(s, q.dtype)
+        q = posenc.apply_rotary_split(q, cj, sj)
+        out = flash_attention(q, k, v, rope_cos_k=cj, rope_sin_k=sj)
+        return ops.linear(p["out_proj"], ops.recombine_heads(out))
+
     q = ops.separate_heads(ops.linear(p["q_proj"], q_in), num_heads)
     k = ops.separate_heads(ops.linear(p["k_proj"], k_in), num_heads)
     v = ops.separate_heads(ops.linear(p["v_proj"], v_in), num_heads)
-    head_dim = q.shape[-1]
-    ex, ey = cfg.rope_feat_sizes
     cos, sin = _rope_tables(head_dim, ex, ey, cfg.rope_theta)
     cos = cos.astype(q.dtype)
     sin = sin.astype(q.dtype)
@@ -66,19 +136,54 @@ def rope_cross_attention(
     axial RoPE table tiled per 4096-token frame (rope_k_repeat,
     transformer.py:380-381); obj-ptr keys are left unrotated."""
     num_heads = cfg.num_heads
+    ex, ey = cfg.rope_feat_sizes
+    seq = ex * ey
+    assert num_frame_tokens % seq == 0
+    reps = num_frame_tokens // seq
+    head_dim = p["q_proj"]["weight"].shape[1] // num_heads
+
+    if _use_fused_rope(q_in.shape[1], k_in.shape[1]) and q_in.shape[1] == seq:
+        from sam2_opt_tpu.kernels import flash_attention as fa
+
+        perm = posenc.split_perm(head_dim, num_heads)
+        q = ops.separate_heads(ops.linear(_perm_proj(p["q_proj"], perm), q_in),
+                               num_heads)
+        cq, sq_ = _rope_half_tables(head_dim, ex, ey, cfg.rope_theta)
+        q = posenc.apply_rotary_split(
+            q, jnp.asarray(cq, q.dtype), jnp.asarray(sq_, q.dtype)
+        )
+        n_extra = k_in.shape[1] - num_frame_tokens
+        ck, sk = _kv_half_tables(head_dim, ex, ey, cfg.rope_theta, reps, n_extra)
+        ckj = jnp.asarray(ck, q.dtype)
+        skj = jnp.asarray(sk, q.dtype)
+        if num_heads == 1 and _use_fused_kv_proj():
+            # deepest fusion: stream kv at mem_dim width, project + bias +
+            # rotate in-kernel (the projected K/V never hit HBM)
+            kp = _perm_proj(p["k_proj"], perm)
+            out = fa.flash_attention_kv_proj(
+                q, k_in, v_in,
+                kp["weight"].astype(q.dtype), kp["bias"],
+                p["v_proj"]["weight"].astype(q.dtype), p["v_proj"]["bias"],
+                kv_mask=kv_mask, rope_cos_k=ckj, rope_sin_k=skj,
+            )
+        else:
+            k = ops.separate_heads(
+                ops.linear(_perm_proj(p["k_proj"], perm), k_in), num_heads
+            )
+            v = ops.separate_heads(ops.linear(p["v_proj"], v_in), num_heads)
+            out = fa.flash_attention(
+                q, k, v, kv_mask=kv_mask, rope_cos_k=ckj, rope_sin_k=skj,
+            )
+        return ops.linear(p["out_proj"], ops.recombine_heads(out))
+
     q = ops.separate_heads(ops.linear(p["q_proj"], q_in), num_heads)
     k = ops.separate_heads(ops.linear(p["k_proj"], k_in), num_heads)
     v = ops.separate_heads(ops.linear(p["v_proj"], v_in), num_heads)
-    head_dim = q.shape[-1]
-    ex, ey = cfg.rope_feat_sizes
     cos, sin = _rope_tables(head_dim, ex, ey, cfg.rope_theta)
     cos = cos.astype(q.dtype)
     sin = sin.astype(q.dtype)
     q = posenc.apply_rotary(q, cos, sin)
 
-    seq = ex * ey
-    assert num_frame_tokens % seq == 0
-    reps = num_frame_tokens // seq
     k_frames = k[:, :, :num_frame_tokens, :]
     k_ptrs = k[:, :, num_frame_tokens:, :]
     cos_k = jnp.tile(cos, (reps, 1))
@@ -94,14 +199,16 @@ def memory_attention_layer(
     p,
     cfg: MemoryAttentionConfig,
     tgt,          # [B, 4096, 256]
-    memory,       # [B, S, mem_dim]
+    mem_k,        # [B, S, mem_dim] cross-attn key input (pos already added)
+    mem_v,        # [B, S, mem_dim] cross-attn value input
     query_pos,    # [B, 4096, 256]
-    memory_pos,   # [B, S, mem_dim]
     kv_mask,
     num_frame_tokens: int,
 ):
     """One memory-attention layer (reference memory_attention.py:18-109):
-    pre-LN self-attn, pre-LN partial-RoPE cross-attn, FFN."""
+    pre-LN self-attn, pre-LN partial-RoPE cross-attn, FFN. The key input
+    (memory + memory_pos under pos_enc_at_cross_attn_keys) is layer-invariant
+    and hoisted to memory_attention()."""
     # Self-attention (pos_enc_at_attn=False in all shipped configs)
     tgt2 = ops.layer_norm(p["norm1"], tgt)
     qk = tgt2 + query_pos if cfg.pos_enc_at_attn else tgt2
@@ -110,9 +217,8 @@ def memory_attention_layer(
     # Cross-attention to memory
     tgt2 = ops.layer_norm(p["norm2"], tgt)
     q = tgt2 + query_pos if cfg.pos_enc_at_cross_attn_queries else tgt2
-    k = memory + memory_pos if cfg.pos_enc_at_cross_attn_keys else memory
     tgt = tgt + rope_cross_attention(
-        p["cross_attn_image"], cfg, q, k, memory, kv_mask, num_frame_tokens
+        p["cross_attn_image"], cfg, q, mem_k, mem_v, kv_mask, num_frame_tokens
     )
 
     # FFN
@@ -142,9 +248,12 @@ def memory_attention(
     output = curr
     if cfg.pos_enc_at_input and curr_pos is not None:
         output = output + 0.1 * curr_pos
+    # layer-invariant: the cross-attn key input (memory + pos) is the same for
+    # every layer — add once instead of once per layer
+    mem_k = memory + memory_pos if cfg.pos_enc_at_cross_attn_keys else memory
     for i in range(len(p["layers"])):
         output = memory_attention_layer(
-            p["layers"][i], cfg, output, memory, curr_pos, memory_pos, kv_mask,
+            p["layers"][i], cfg, output, mem_k, memory, curr_pos, kv_mask,
             num_frame_tokens,
         )
     return ops.layer_norm(p["norm"], output)

@@ -103,3 +103,43 @@ def apply_rotary(x, cos, sin):
     odd = x1 * s + x2 * c
     out = jnp.stack([even, odd], axis=-1)
     return out.reshape(x.shape)
+
+
+def rope_half_tables(dim: int, end_x: int, end_y: int, theta: float = 10000.0):
+    """Per-PAIR RoPE tables [N, dim//2] (numpy) for the de-interleaved
+    ("split") channel layout: pair i's (cos, sin) — i.e. the even-indexed
+    columns of axial_rope_cos_sin's full tables."""
+    cos, sin = axial_rope_cos_sin(dim, end_x, end_y, theta)
+    return np.ascontiguousarray(cos[:, 0::2]), np.ascontiguousarray(sin[:, 0::2])
+
+
+def split_perm(head_dim: int, num_heads: int = 1) -> np.ndarray:
+    """Channel permutation mapping the interleaved pair layout
+    (x0, y0, x1, y1, ...) to the de-interleaved split layout
+    (x0, x1, ..., y0, y1, ...), per head.
+
+    TPU-native trick: stride-2 lane slices (x[..., 0::2]) cost a cross-lane
+    shuffle on the VPU; applying this permutation to the OUTPUT channels of
+    the q/k projection weights instead makes rotation two contiguous
+    half-width vector ops. Because q and k are permuted identically, q·kᵀ —
+    and therefore the attention output — is unchanged."""
+    base = np.concatenate([np.arange(0, head_dim, 2), np.arange(1, head_dim, 2)])
+    return np.concatenate(
+        [h * head_dim + base for h in range(num_heads)]
+    ).astype(np.int32)
+
+
+def apply_rotary_split(x, cos_half, sin_half):
+    """Rotation in the split layout: x [..., seq, dim] whose first dim/2
+    channels are the pair-first halves (see split_perm); cos/sin [seq, dim/2].
+    Equivalent to apply_rotary on the interleaved layout, without any
+    stride-2 lane shuffles."""
+    d_half = cos_half.shape[-1]
+    x1 = x[..., :d_half]
+    x2 = x[..., d_half : 2 * d_half]
+    out = jnp.concatenate(
+        [x1 * cos_half - x2 * sin_half, x1 * sin_half + x2 * cos_half], axis=-1
+    )
+    if x.shape[-1] > 2 * d_half:
+        out = jnp.concatenate([out, x[..., 2 * d_half :]], axis=-1)
+    return out

@@ -329,6 +329,13 @@ class SAM2VideoPredictorDAM4SAM(SAM2VideoPredictor):
                 f"{obj_id}; run propagate_in_video past it first"
             )
         temp = inference_state["temp_output_dict_per_obj"][obj_idx]
+        # the reference RE-RUNS the memory encoder on the promoted frame at
+        # preflight with is_mask_from_pts=True (binarized sigmoid), instead of
+        # keeping the tracked-frame memory (_consolidate_temp_output_across_obj
+        # run_mem_encoder=True path, sam2_video_predictor_dam4sam.py:704-723);
+        # dropping maskmem_features here makes our preflight do the same
+        out = dict(out)
+        out["maskmem_features"] = None
         temp["cond_frame_outputs"][frame_idx] = out
 
         obj_ids = inference_state["obj_ids"]

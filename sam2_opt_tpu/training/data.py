@@ -385,8 +385,17 @@ class VideoAugmentations:
     def __init__(self, hflip_prob: float = 0.5, color_jitter_prob: float = 0.8,
                  brightness: float = 0.1, contrast: float = 0.03,
                  saturation: float = 0.03, grayscale_prob: float = 0.05,
-                 affine_prob: float = 0.0, degrees: float = 25.0,
-                 shear: float = 20.0):
+                 affine_prob: float = 1.0, degrees: float = 25.0,
+                 shear: float = 20.0, affine_tentatives: int = 4,
+                 mosaic_prob: float = 0.0, mosaic_grid: int = 2,
+                 mosaic_hflip: bool = False):
+        """Defaults follow the shipped MOSE finetune recipe
+        (configs/sam2.1_training/sam2.1_hiera_b+_MOSE_finetune.yaml):
+        RandomAffine(degrees=25, shear=20) applies unconditionally
+        (affine_prob=1.0) with the reference's zero-area retry
+        (transforms.py:344-358); RandomMosaicVideoAPI exists in the
+        reference transform zoo (transforms.py:498-560) but is NOT part of
+        the MOSE recipe, so mosaic_prob defaults to 0."""
         self.hflip_prob = hflip_prob
         self.color_jitter_prob = color_jitter_prob
         self.brightness = brightness
@@ -396,6 +405,10 @@ class VideoAugmentations:
         self.affine_prob = affine_prob
         self.degrees = degrees
         self.shear = shear
+        self.affine_tentatives = affine_tentatives
+        self.mosaic_prob = mosaic_prob
+        self.mosaic_grid = mosaic_grid
+        self.mosaic_hflip = mosaic_hflip
 
     def __call__(self, images: np.ndarray, masks: np.ndarray, rng):
         """images [T,S,S,3] uint8, masks [T,N,S,S] bool -> same shapes."""
@@ -425,32 +438,94 @@ class VideoAugmentations:
             images = np.repeat(gray[..., None], 3, axis=-1)
 
         if self.affine_prob > 0 and rng.random() < self.affine_prob:
-            angle = rng.uniform(-self.degrees, self.degrees)
-            shear_x = rng.uniform(-self.shear, self.shear)
-            frames, mframes = [], []
-            for t in range(images.shape[0]):
-                im = Image.fromarray(images[t]).rotate(
-                    angle, Image.BILINEAR
-                ).transform(
-                    images[t].shape[:2][::-1], Image.AFFINE,
-                    (1, np.tan(np.radians(shear_x)), 0, 0, 1, 0),
-                    Image.BILINEAR,
-                )
-                frames.append(np.asarray(im))
-                ms = []
-                for n in range(masks.shape[1]):
-                    m = Image.fromarray(
-                        masks[t, n].astype(np.uint8) * 255
-                    ).rotate(angle, Image.NEAREST).transform(
-                        masks[t, n].shape[::-1], Image.AFFINE,
-                        (1, np.tan(np.radians(shear_x)), 0, 0, 1, 0),
-                        Image.NEAREST,
-                    )
-                    ms.append(np.asarray(m) > 127)
-                mframes.append(np.stack(ms))
-            images = np.stack(frames)
-            masks = np.stack(mframes)
+            # zero-area retry: redraw params while the transform wipes out
+            # every first-frame mask, then skip (reference RandomAffine
+            # tentatives, transforms.py:344-358)
+            for _ in range(max(self.affine_tentatives, 1)):
+                angle = rng.uniform(-self.degrees, self.degrees)
+                shear_x = rng.uniform(-self.shear, self.shear)
+                a_imgs, a_masks = self._affine(images, masks, angle, shear_x)
+                if (not masks[0].any()) or a_masks[0].any():
+                    images, masks = a_imgs, a_masks
+                    break
+
+        if self.mosaic_prob > 0 and rng.random() < self.mosaic_prob:
+            images, masks = self._mosaic(images, masks, rng)
         return images, masks
+
+    def _affine(self, images, masks, angle, shear_x):
+        from PIL import Image
+
+        frames, mframes = [], []
+        for t in range(images.shape[0]):
+            im = Image.fromarray(images[t]).rotate(
+                angle, Image.BILINEAR
+            ).transform(
+                images[t].shape[:2][::-1], Image.AFFINE,
+                (1, np.tan(np.radians(shear_x)), 0, 0, 1, 0),
+                Image.BILINEAR,
+            )
+            frames.append(np.asarray(im))
+            ms = []
+            for n in range(masks.shape[1]):
+                m = Image.fromarray(
+                    masks[t, n].astype(np.uint8) * 255
+                ).rotate(angle, Image.NEAREST).transform(
+                    masks[t, n].shape[::-1], Image.AFFINE,
+                    (1, np.tan(np.radians(shear_x)), 0, 0, 1, 0),
+                    Image.NEAREST,
+                )
+                ms.append(np.asarray(m) > 127)
+            mframes.append(np.stack(ms))
+        return np.stack(frames), np.stack(mframes)
+
+    def _mosaic(self, images, masks, rng):
+        """Video mosaic (reference RandomMosaicVideoAPI + random_mosaic_frame,
+        transforms.py:434-560): every frame becomes a grid of downscaled
+        copies of itself (optionally per-cell h-flipped); the target masks
+        survive only in one randomly chosen target cell. One draw per video."""
+        from PIL import Image
+
+        g = self.mosaic_grid
+        T, H, W = images.shape[0], images.shape[1], images.shape[2]
+        ty = rng.randrange(g)
+        tx = rng.randrange(g)
+        flip = (
+            np.asarray([[rng.random() < 0.5 for _ in range(g)] for _ in range(g)])
+            if self.mosaic_hflip
+            else np.zeros((g, g), bool)
+        )
+        out_imgs = np.zeros_like(images)
+        out_masks = np.zeros_like(masks)
+        for t in range(T):
+            cache = {}
+            for gy in range(g):
+                for gx in range(g):
+                    y0, y1 = gy * H // g, (gy + 1) * H // g
+                    x0, x1 = gx * W // g, (gx + 1) * W // g
+                    key = (y1 - y0, x1 - x0)
+                    if key not in cache:
+                        cache[key] = np.asarray(
+                            Image.fromarray(images[t]).resize(
+                                (key[1], key[0]), Image.BILINEAR
+                            )
+                        )
+                    tile = cache[key]
+                    if flip[gy, gx]:
+                        tile = tile[:, ::-1]
+                    out_imgs[t, y0:y1, x0:x1] = tile
+            y0, y1 = ty * H // g, (ty + 1) * H // g
+            x0, x1 = tx * W // g, (tx + 1) * W // g
+            for n in range(masks.shape[1]):
+                m = np.asarray(
+                    Image.fromarray(masks[t, n].astype(np.uint8) * 255).resize(
+                        (x1 - x0, y1 - y0), Image.NEAREST
+                    )
+                ) > 127
+                if flip[ty, tx]:
+                    m = m[:, ::-1]
+                out_masks[t, n, y0:y1, x0:x1] = m
+        return out_imgs, out_masks
 
 
 class VOSDataset:
@@ -482,6 +557,7 @@ class VOSDataset:
             # back-compat: hflip_prob=0 historically meant "no augmentation"
             self.transforms = VideoAugmentations(
                 hflip_prob=0.0, color_jitter_prob=0.0, grayscale_prob=0.0,
+                affine_prob=0.0,
             )
         self.multiplier = max(int(multiplier), 1)
         self.rng = random.Random(seed)

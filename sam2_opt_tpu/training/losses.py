@@ -127,11 +127,12 @@ def multistep_multimasks_and_ious(
             loss_mi = loss_mi * v
             loss_class = loss_class * v
 
-        # supervise the slot with the lowest combined mask loss (:126 doc)
+        # supervise the slot with the lowest focal+dice loss — the IoU term is
+        # deliberately NOT part of the selection, "to be consistent w/ SAM"
+        # (reference loss_fns.py:268-281)
         combined = (
             loss_mm * weight_dict["loss_mask"]
             + loss_md * weight_dict["loss_dice"]
-            + loss_mi * weight_dict["loss_iou"]
         )
         best = jnp.argmin(combined, axis=-1)  # [N]
         take = lambda x: jnp.take_along_axis(x, best[:, None], axis=-1)[:, 0]

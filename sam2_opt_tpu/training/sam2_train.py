@@ -154,34 +154,73 @@ def _init_prompt(rng, gt_masks, use_box: bool):
     )
 
 
-def _training_memory(cfg: SAM2Config, mem_feats: List, obj_ptrs: List,
-                     t_pos_list: List[int], ptr_pos: List[float]):
-    """Assemble a MemoryInput from in-graph per-frame outputs (training uses
-    the last num_maskmem frames + all obj ptrs; no host gather needed)."""
-    cap = cfg.num_maskmem
+def _training_memory(cfg: SAM2Config, frame_idx: int, num_frames: int,
+                     cond_mems: Dict[int, jnp.ndarray],
+                     noncond_mems: Dict[int, jnp.ndarray],
+                     cond_ptrs: Dict[int, jnp.ndarray],
+                     noncond_ptrs: Dict[int, jnp.ndarray],
+                     mem_cap: int, ptr_cap: int):
+    """Assemble a MemoryInput for one tracked frame, reproducing the
+    reference training-mode memory selection EXACTLY
+    (sam2_base_official.py:616-760, stride=1 in training):
+
+    - every init-cond frame's memory participates forever, with temporal
+      embedding row `num_maskmem - 1` (t_pos 0);
+    - the last `num_maskmem - 1` NON-cond frames participate; a frame at
+      distance d uses temporal embedding row `d - 1` (t_pos num_maskmem-d);
+    - object pointers: all cond-frame pointers (training ignores
+      only_obj_ptrs_in_the_past_for_eval) plus non-cond pointers at
+      distances 1..max_obj_ptrs-1, each at normalized temporal position
+      `(frame_idx - t) / (min(num_frames, max_obj_ptrs) - 1)`.
+
+    `mem_cap`/`ptr_cap` are the static slot counts of the compiled variant.
+    """
     D = cfg.mem_dim
-    B = mem_feats[0].shape[0]
+    entries = []  # (tpos_row, feats)
+    for t_c in sorted(cond_mems):
+        entries.append((cfg.num_maskmem - 1, cond_mems[t_c]))
+    for d in range(cfg.num_maskmem - 1, 0, -1):
+        prev = frame_idx - d
+        if prev in noncond_mems:
+            entries.append((d - 1, noncond_mems[prev]))
+    assert len(entries) <= mem_cap, (len(entries), mem_cap)
+    any_mem = entries[0][1] if entries else next(iter(cond_mems.values()))
+    B = any_mem.shape[0]
     feats, tpos, valid = [], [], []
-    for i in range(cap):
-        if i < len(mem_feats):
-            feats.append(mem_feats[-(i + 1)])
-            tpos.append(cfg.num_maskmem - t_pos_list[-(i + 1)] - 1)
+    for i in range(mem_cap):
+        if i < len(entries):
+            tpos.append(entries[i][0])
+            feats.append(entries[i][1])
             valid.append(True)
         else:
-            feats.append(jnp.zeros_like(mem_feats[0]))
             tpos.append(0)
+            feats.append(jnp.zeros_like(any_mem))
             valid.append(False)
-    P = cfg.max_obj_ptrs_in_encoder
+
+    max_obj_ptrs = min(num_frames, cfg.max_obj_ptrs_in_encoder)
+    t_diff_max = max(max_obj_ptrs - 1, 1)
+    ptr_entries = []  # (normalized pos, ptr)
+    for t_c in sorted(cond_ptrs):
+        ptr_entries.append(((frame_idx - t_c) / t_diff_max, cond_ptrs[t_c]))
+    for d in range(1, max_obj_ptrs):
+        t = frame_idx - d
+        if t < 0:
+            break
+        if t in noncond_ptrs:
+            ptr_entries.append((d / t_diff_max, noncond_ptrs[t]))
+    assert len(ptr_entries) <= ptr_cap, (len(ptr_entries), ptr_cap)
+    any_ptr = ptr_entries[0][1] if ptr_entries else next(iter(cond_ptrs.values()))
     ptrs, ppos, pvalid = [], [], []
-    for i in range(P):
-        if i < len(obj_ptrs):
-            ptrs.append(obj_ptrs[-(i + 1)])
-            ppos.append(ptr_pos[-(i + 1)])
+    for i in range(ptr_cap):
+        if i < len(ptr_entries):
+            ppos.append(ptr_entries[i][0])
+            ptrs.append(ptr_entries[i][1])
             pvalid.append(True)
         else:
-            ptrs.append(jnp.zeros_like(obj_ptrs[0]))
             ppos.append(0.0)
+            ptrs.append(jnp.zeros_like(any_ptr))
             pvalid.append(False)
+
     def tile(x, dtype):
         return jnp.broadcast_to(jnp.asarray(x, dtype)[None], (B, len(x)))
 
@@ -239,10 +278,16 @@ def forward_tracking(
     feats_all = encode_fn(images)  # list of 3 maps [T, ...]
 
     outs_masks, outs_ious, outs_scores, target_list = [], [], [], []
-    mem_feats: List = []
-    obj_ptrs: List = []
-    t_pos_list: List[int] = []
-    ptr_pos: List[float] = []
+    # reference training memory bookkeeping (sam2_base_official.py:616-760):
+    # cond-frame memories/pointers persist for the whole rollout; non-cond
+    # memories only matter within the last num_maskmem-1 frames (stride=1)
+    cond_mems: Dict[int, jnp.ndarray] = {}
+    noncond_mems: Dict[int, jnp.ndarray] = {}
+    cond_ptrs: Dict[int, jnp.ndarray] = {}
+    noncond_ptrs: Dict[int, jnp.ndarray] = {}
+    # static slot counts shared by every tracked frame in this compiled variant
+    mem_cap = num_init_cond_frames + cfg.num_maskmem - 1
+    ptr_cap = num_init_cond_frames + min(T, cfg.max_obj_ptrs_in_encoder) - 1
 
     def frame_feats(t):
         f0 = jnp.repeat(feats_all[0][t : t + 1], B, axis=0)
@@ -263,7 +308,10 @@ def forward_tracking(
             else:
                 coords, labels = _init_prompt(k1, gt_t, use_box_input)
         else:
-            mem = _training_memory(cfg, mem_feats, obj_ptrs, t_pos_list, ptr_pos)
+            mem = _training_memory(
+                cfg, t, T, cond_mems, noncond_mems, cond_ptrs, noncond_ptrs,
+                mem_cap, ptr_cap,
+            )
             pix_feat = vc.condition_on_memory(params, cfg, f2, mem)
             coords = jnp.zeros((B, 1, 2), jnp.float32)
             labels = -jnp.ones((B, 1), jnp.int32)
@@ -320,10 +368,17 @@ def forward_tracking(
         outs_scores.append(step_scores)
         target_list.append(gt_t)
 
-        # encode this frame into memory for the next frames
+        # encode this frame into memory for the next frames; is_mask_from_pts
+        # follows the reference: True iff this frame had POINT inputs
+        # (model/sam2.py track_step passes point_inputs to
+        # _encode_memory_in_output — mask-prompt init frames are False, and
+        # plain tracked frames only become True via correction clicks)
+        had_points = (is_init and not use_mask_input) or (
+            correct_here and num_correction_clicks > 0
+        )
         maskmem, _ = base.encode_new_memory(
             params, cfg, f2, high_res, obj_score,
-            is_mask_from_pts=is_init,
+            is_mask_from_pts=had_points,
         )
         if obj_valid is not None:
             # Padded object slots never enter memory (the reference trains
@@ -334,17 +389,21 @@ def forward_tracking(
             vb = obj_valid.astype(maskmem.dtype)
             maskmem = maskmem * vb[:, None, None, None]
             obj_ptr = obj_ptr * vb[:, None].astype(obj_ptr.dtype)
-        mem_feats.append(maskmem)
-        obj_ptrs.append(obj_ptr)
-        t_pos_list.append(min(t, cfg.num_maskmem - 1))
-        ptr_pos.append(t / max(T - 1, 1))
-        # cap the in-graph memory to num_maskmem frames
-        if len(mem_feats) > cfg.num_maskmem:
-            mem_feats.pop(0)
-            t_pos_list.pop(0)
-        if len(obj_ptrs) > cfg.max_obj_ptrs_in_encoder:
-            obj_ptrs.pop(0)
-            ptr_pos.pop(0)
+        if is_init:
+            cond_mems[t] = maskmem
+            cond_ptrs[t] = obj_ptr
+        else:
+            noncond_mems[t] = maskmem
+            noncond_ptrs[t] = obj_ptr
+            # only the last num_maskmem-1 / max_obj_ptrs-1 non-cond entries
+            # can ever be selected again — drop older ones from the graph
+            for old in [k for k in noncond_mems if k <= t - cfg.num_maskmem]:
+                noncond_mems.pop(old)
+            for old in [
+                k for k in noncond_ptrs
+                if k <= t - min(T, cfg.max_obj_ptrs_in_encoder)
+            ]:
+                noncond_ptrs.pop(old)
 
     return outs_masks, outs_ious, outs_scores, target_list
 

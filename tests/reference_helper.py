@@ -251,5 +251,67 @@ def build_torch_video_predictor(variant: str = "hiera_t", seed: int = 0,
     )
 
 
+def build_torch_dam4sam_predictor(variant: str = "hiera_t", seed: int = 0,
+                                  **predictor_kwargs):
+    """Reference DAM4SAM SAM2VideoPredictor (sam2_video_predictor_dam4sam.py)
+    on CPU with seeded weights.
+
+    The dam4sam predictor imports its base as
+    `sam2_opt.sam2.sam2.modeling.sam2_base` — alias that module name to the
+    dam4sam base (the same module the env-var track switch would select,
+    modeling/sam2_base.py:6-12) so the import resolves without the sam2_opt
+    package root on sys.path. The dam4sam memory path hard-codes `.cuda()`
+    on stored tensors (written for GPU, sam2_base_dam4sam.py:700-703); the
+    caller must neutralize torch.Tensor.cuda on CPU (see
+    tests/test_dam4sam_parity.py).
+    """
+    setup_reference()
+    import sam2.modeling.sam2_base_dam4sam as dam_base
+
+    for name in (
+        "sam2_opt",
+        "sam2_opt.sam2",
+        "sam2_opt.sam2.sam2",
+        "sam2_opt.sam2.sam2.modeling",
+    ):
+        _stub_module(name)
+    sys.modules["sam2_opt.sam2.sam2.modeling.sam2_base"] = dam_base
+
+    from sam2.sam2_video_predictor_dam4sam import (
+        SAM2VideoPredictor as DamPredictor,
+    )
+
+    predictor_kwargs.setdefault("fill_hole_area", 0)
+    extra = dict(predictor_kwargs)
+    extra["binarize_mask_from_pts_for_mem_enc"] = True
+    return build_torch_sam2(
+        variant, seed=seed, cls=DamPredictor, extra_kwargs=extra
+    )
+
+
+def build_torch_sam2train(variant: str = "hiera_t", seed: int = 0,
+                          **train_kwargs):
+    """Reference SAM2Train (training/model/sam2.py) on CPU with seeded
+    weights. Stubs `tensordict` (not installed; only used for the
+    BatchedVideoDatapoint @tensorclass decorator, which tests replace with a
+    duck-typed batch anyway)."""
+    setup_reference()
+
+    def _tensorclass(cls):
+        return cls
+
+    _stub_module("tensordict", tensorclass=_tensorclass)
+    # training.loss_fns imports CORE_LOSS_KEY from training.trainer, whose
+    # transitive imports (hydra.utils, checkpoint/logging utils) aren't
+    # needed for the numeric paths — stub just the constant
+    _stub_module("training.trainer", CORE_LOSS_KEY="core_loss")
+
+    from training.model.sam2 import SAM2Train
+
+    return build_torch_sam2(
+        variant, seed=seed, cls=SAM2Train, extra_kwargs=train_kwargs
+    )
+
+
 def state_dict_numpy(model):
     return {k: v.detach().float().numpy() for k, v in model.state_dict().items()}

@@ -111,6 +111,240 @@ def test_flash_gradients_match_sdpa():
         assert err < 1e-4, f"d{name} err {err}"
 
 
+def _interleaved_rope_reference(q, k, v, mask, cos, sin, num_frame_tokens, reps):
+    """Reference math: interleaved-layout RoPE on q and the spatial-K region
+    (obj-ptr keys unrotated), then unfused SDPA."""
+    from sam2_opt_tpu.ops import posenc
+
+    q = posenc.apply_rotary(q, cos, sin)
+    k_fr = posenc.apply_rotary(
+        k[:, :, :num_frame_tokens], jnp.tile(cos, (reps, 1)),
+        jnp.tile(sin, (reps, 1))
+    )
+    k = jnp.concatenate([k_fr, k[:, :, num_frame_tokens:]], axis=2)
+    mb = None if mask is None else mask[:, None, None, :]
+    return scaled_dot_product_attention(q, k, v, mask=mb)
+
+
+def test_flash_rope_fused_matches_interleaved_reference():
+    """The rope-fused kernel (split layout, K rotated in-kernel, identity
+    rows for obj-ptr keys) must match interleaved RoPE + SDPA exactly: the
+    split layout is a channel permutation applied to BOTH q and k, which
+    leaves q·kᵀ — and the attention output — unchanged."""
+    from sam2_opt_tpu.ops import posenc
+
+    rng = np.random.default_rng(21)
+    B, H, D = 1, 1, 64
+    ex = ey = 16
+    Sq = ex * ey          # 256
+    reps = 2
+    nft = reps * Sq       # 512 spatial-memory tokens
+    n_ptr = 24
+    Skv = nft + n_ptr
+    q = jnp.asarray(rng.standard_normal((B, H, Sq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, Skv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, Skv, D)), jnp.float32)
+    m = rng.random((B, Skv)) > 0.2
+    m[:, :4] = True
+    mask = jnp.asarray(m)
+
+    cos, sin = posenc.axial_rope_cos_sin(D, ex, ey)
+    ref = _interleaved_rope_reference(
+        q, k, v, mask, jnp.asarray(cos), jnp.asarray(sin), nft, reps
+    )
+
+    # split layout: permute q/k channels, rotate q outside, K in-kernel
+    perm = posenc.split_perm(D, H)
+    qp = q[..., perm]
+    kp = k[..., perm]
+    c_half, s_half = posenc.rope_half_tables(D, ex, ey)
+    qp = posenc.apply_rotary_split(
+        qp, jnp.asarray(c_half), jnp.asarray(s_half)
+    )
+    ck = np.concatenate([np.tile(c_half, (reps, 1)),
+                         np.ones((n_ptr, D // 2), np.float32)])
+    sk = np.concatenate([np.tile(s_half, (reps, 1)),
+                         np.zeros((n_ptr, D // 2), np.float32)])
+    out = flash_attention(
+        qp, kp, v, kv_mask=mask,
+        rope_cos_k=jnp.asarray(ck), rope_sin_k=jnp.asarray(sk),
+        block_q=128, block_k=128, interpret=True,
+    )
+    err = float(jnp.max(jnp.abs(out - ref)))
+    assert err < 2e-5, err
+
+
+def test_flash_rope_fused_gradients():
+    """The rope-fused kernel's VJP (inverse-rotation on dK) must match
+    autodiff through the unfused interleaved reference."""
+    from sam2_opt_tpu.ops import posenc
+
+    rng = np.random.default_rng(22)
+    B, H, D = 1, 1, 64
+    ex = ey = 16
+    Sq = ex * ey
+    nft = Sq
+    n_ptr = 16
+    Skv = nft + n_ptr
+    q = jnp.asarray(rng.standard_normal((B, H, Sq, D)) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, Skv, D)) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, Skv, D)) * 0.3, jnp.float32)
+    cos, sin = posenc.axial_rope_cos_sin(D, ex, ey)
+    perm = posenc.split_perm(D, H)
+    inv_perm = np.argsort(perm)
+    c_half, s_half = posenc.rope_half_tables(D, ex, ey)
+    ck = jnp.asarray(np.concatenate(
+        [c_half, np.ones((n_ptr, D // 2), np.float32)]))
+    sk = jnp.asarray(np.concatenate(
+        [s_half, np.zeros((n_ptr, D // 2), np.float32)]))
+
+    def loss_ref(q, k, v):
+        o = _interleaved_rope_reference(
+            q, k, v, None, jnp.asarray(cos), jnp.asarray(sin), nft, 1
+        )
+        return jnp.sum(o * o)
+
+    def loss_fused(q, k, v):
+        qp = posenc.apply_rotary_split(q[..., perm], jnp.asarray(c_half),
+                                       jnp.asarray(s_half))
+        o = flash_attention(qp, k[..., perm], v, rope_cos_k=ck, rope_sin_k=sk,
+                            block_q=128, block_k=128, interpret=True)
+        return jnp.sum(o * o)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        err = float(jnp.max(jnp.abs(a - b)))
+        assert err < 1e-4, f"d{name} err {err}"
+
+
+def test_flash_kv_proj_fused_matches_reference():
+    """The kv-projection-fused kernel (K/V projected from mem_dim + bias +
+    partial RoPE in-kernel) must match project-then-rotate-then-SDPA, and its
+    VJP must match autodiff through that reference chain."""
+    from sam2_opt_tpu.kernels.flash_attention import flash_attention_kv_proj
+    from sam2_opt_tpu.ops import posenc
+
+    rng = np.random.default_rng(31)
+    B, D, Dm = 1, 64, 32
+    ex = ey = 16
+    Sq = ex * ey
+    nft = Sq
+    n_ptr = 16
+    Skv = nft + n_ptr
+    q_in = jnp.asarray(rng.standard_normal((B, 1, Sq, D)) * 0.3, jnp.float32)
+    mem_k = jnp.asarray(rng.standard_normal((B, Skv, Dm)) * 0.3, jnp.float32)
+    mem_v = jnp.asarray(rng.standard_normal((B, Skv, Dm)) * 0.3, jnp.float32)
+    wk = jnp.asarray(rng.standard_normal((Dm, D)) * 0.2, jnp.float32)
+    bk = jnp.asarray(rng.standard_normal(D) * 0.05, jnp.float32)
+    wv = jnp.asarray(rng.standard_normal((Dm, D)) * 0.2, jnp.float32)
+    bv = jnp.asarray(rng.standard_normal(D) * 0.05, jnp.float32)
+    m = rng.random((B, Skv)) > 0.25
+    m[:, :4] = True
+    mask = jnp.asarray(m)
+
+    c_half, s_half = posenc.rope_half_tables(D, ex, ey)
+    ck = jnp.asarray(np.concatenate(
+        [c_half, np.ones((n_ptr, D // 2), np.float32)]))
+    sk = jnp.asarray(np.concatenate(
+        [s_half, np.zeros((n_ptr, D // 2), np.float32)]))
+    cq = jnp.asarray(c_half)
+    sq_ = jnp.asarray(s_half)
+
+    def reference(q_in, mem_k, mem_v, wk, bk, wv, bv):
+        # q assumed already in the split layout; rotate outside
+        q = posenc.apply_rotary_split(q_in, cq, sq_)
+        k = (mem_k @ wk + bk)[:, None]
+        k = posenc.apply_rotary_split(k, ck, sk)
+        v = (mem_v @ wv + bv)[:, None]
+        return scaled_dot_product_attention(q, k, v,
+                                            mask=mask[:, None, None, :])
+
+    def fused(q_in, mem_k, mem_v, wk, bk, wv, bv):
+        q = posenc.apply_rotary_split(q_in, cq, sq_)
+        return flash_attention_kv_proj(
+            q, mem_k, mem_v, wk, bk, wv, bv, kv_mask=mask,
+            rope_cos_k=ck, rope_sin_k=sk,
+            block_q=128, block_k=128, interpret=True,
+        )
+
+    ref = reference(q_in, mem_k, mem_v, wk, bk, wv, bv)
+    out = fused(q_in, mem_k, mem_v, wk, bk, wv, bv)
+    err = float(jnp.max(jnp.abs(out - ref)))
+    assert err < 2e-5, err
+
+    loss_r = lambda *a: jnp.sum(reference(*a) ** 2)
+    loss_f = lambda *a: jnp.sum(fused(*a) ** 2)
+    args = (q_in, mem_k, mem_v, wk, bk, wv, bv)
+    gr = jax.grad(loss_r, argnums=tuple(range(7)))(*args)
+    gf = jax.grad(loss_f, argnums=tuple(range(7)))(*args)
+    names = ["q", "mem_k", "mem_v", "wk", "bk", "wv", "bv"]
+    for a, b, name in zip(gf, gr, names):
+        gerr = float(jnp.max(jnp.abs(a - b)))
+        assert gerr < 2e-4, f"d{name} err {gerr}"
+
+
+def test_rope_cross_attention_fused_matches_unfused(monkeypatch):
+    """models/memory_attention.py's fused-RoPE branch (permuted projections +
+    in-kernel K rotation) must reproduce the unfused interleaved path on the
+    real module, including the kv validity mask."""
+    import sam2_opt_tpu.kernels.flash_attention as fa
+    from sam2_opt_tpu.config import MemoryAttentionConfig
+    from sam2_opt_tpu.models import memory_attention as ma
+
+    cfg = MemoryAttentionConfig(rope_feat_sizes=(32, 32))
+    rng = np.random.default_rng(23)
+    B = 1
+    seq = 32 * 32            # 1024 query tokens
+    reps = 2
+    nft = reps * seq
+    n_ptr = 32
+    Skv = nft + n_ptr
+    dm, dkv = cfg.d_model, cfg.kv_in_dim
+
+    def lin(i, o):
+        return {
+            "weight": jnp.asarray(rng.standard_normal((i, o)) * 0.05, jnp.float32),
+            "bias": jnp.asarray(rng.standard_normal(o) * 0.01, jnp.float32),
+        }
+
+    p = {"q_proj": lin(dm, dm), "k_proj": lin(dkv, dm),
+         "v_proj": lin(dkv, dm), "out_proj": lin(dm, dm)}
+    q_in = jnp.asarray(rng.standard_normal((B, seq, dm)), jnp.float32)
+    k_in = jnp.asarray(rng.standard_normal((B, Skv, dkv)), jnp.float32)
+    v_in = jnp.asarray(rng.standard_normal((B, Skv, dkv)), jnp.float32)
+    m = rng.random((B, Skv)) > 0.3
+    m[:, :8] = True
+    mask = jnp.asarray(m)
+
+    monkeypatch.setenv("SAM2_TPU_FLASH", "0")
+    ref = ma.rope_cross_attention(p, cfg, q_in, k_in, v_in, mask, nft)
+
+    orig = fa.flash_attention
+    orig_kv = fa.flash_attention_kv_proj
+    monkeypatch.setattr(
+        fa, "flash_attention",
+        lambda *a, **kw: orig(*a, block_q=256, block_k=256, interpret=True,
+                              **kw),
+    )
+    monkeypatch.setattr(
+        fa, "flash_attention_kv_proj",
+        lambda *a, **kw: orig_kv(*a, block_q=256, block_k=256, interpret=True,
+                                 **kw),
+    )
+    monkeypatch.setenv("SAM2_TPU_FLASH", "1")
+    monkeypatch.setenv("SAM2_TPU_FUSED_ROPE", "1")
+    # deepest path: kv-projection fused (default on, single-head)
+    out = ma.rope_cross_attention(p, cfg, q_in, k_in, v_in, mask, nft)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    # intermediate path: rope-fused kernel with XLA-side projections
+    monkeypatch.setenv("SAM2_TPU_FUSED_KV_PROJ", "0")
+    out2 = ma.rope_cross_attention(p, cfg, q_in, k_in, v_in, mask, nft)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_fast_softmax_bf16_close_to_fp32(monkeypatch):
     """bf16-logit SDPA (the default bf16 compute path) must stay close to the
     fp32-logit result, and fp32 inputs must be byte-identical regardless of

@@ -210,14 +210,15 @@ def test_obj_valid_padded_slot_is_inert(tiny128_cfg, tiny128_params):
 
 
 def test_trainer_with_mesh(tmp_path, tiny128_cfg):
-    """Trainer wired to a real mesh (VERDICT r1 item #4): batch sharded on
-    "data", params under the TP rule, 2 steps on a fixed batch with the
-    loss decreasing."""
+    """Trainer wired to a real mesh (VERDICT r1 #4, r2 #6): batch sharded on
+    "data", params under the TP rule with tp=2 — the full VIDEO rollout
+    (memory attention + SAM heads) runs under tensor parallelism, not just
+    the encode path — 2 steps on a fixed batch with the loss decreasing."""
     from sam2_opt_tpu.parallel import mesh as mesh_lib
     from sam2_opt_tpu.training.trainer import TrainConfig, Trainer
 
     cfg = tiny128_cfg
-    mesh = mesh_lib.make_mesh(dp=2, tp=1, devices=jax.devices("cpu")[:2])
+    mesh = mesh_lib.make_mesh(dp=2, tp=2, devices=jax.devices("cpu")[:4])
     params = init_params(cfg, jax.random.PRNGKey(0))
     tcfg = TrainConfig(
         num_epochs=1, batch_size=2, num_frames=2, max_num_objects=1,
@@ -351,7 +352,7 @@ def test_video_augmentations_consistency():
     assert out_masks[:, 0, :, 16:].all() and not out_masks[:, 0, :, :16].any()
 
     aug2 = VideoAugmentations(hflip_prob=0.0, color_jitter_prob=0.0,
-                              grayscale_prob=1.0)
+                              grayscale_prob=1.0, affine_prob=0.0)
     g_img, g_masks = aug2(images, masks, random.Random(0))
     assert (g_img[..., 0] == g_img[..., 1]).all()
     assert (g_masks == masks).all()
@@ -360,6 +361,58 @@ def test_video_augmentations_consistency():
                               grayscale_prob=0.0, affine_prob=1.0)
     a_img, a_masks = aug3(images, masks, random.Random(0))
     assert a_img.shape == images.shape and a_masks.shape == masks.shape
+
+
+def test_mosaic_augmentation():
+    """Mosaic (reference RandomMosaicVideoAPI, transforms.py:498-560): frame
+    becomes a grid of downscaled self-copies; masks survive only in the
+    target cell; one parameter draw per video (VERDICT r2 #8)."""
+    from sam2_opt_tpu.training.data import VideoAugmentations
+
+    rng_np = np.random.default_rng(4)
+    images = (rng_np.random((2, 64, 64, 3)) * 255).astype(np.uint8)
+    masks = np.zeros((2, 1, 64, 64), bool)
+    masks[:, 0, 8:56, 8:56] = True
+
+    aug = VideoAugmentations(
+        hflip_prob=0.0, color_jitter_prob=0.0, grayscale_prob=0.0,
+        affine_prob=0.0, mosaic_prob=1.0, mosaic_grid=2,
+    )
+    out_img, out_masks = aug(images, masks, random.Random(0))
+    assert out_img.shape == images.shape and out_masks.shape == masks.shape
+    # the mask lives in exactly one 32x32 cell
+    cells = [
+        out_masks[0, 0, y : y + 32, x : x + 32].any()
+        for y in (0, 32) for x in (0, 32)
+    ]
+    assert sum(cells) == 1, cells
+    # every image cell is a downscaled copy of the frame (same for all cells)
+    q = [out_img[0, y : y + 32, x : x + 32] for y in (0, 32) for x in (0, 32)]
+    assert all((qi == q[0]).all() for qi in q[1:])
+    # mask shrinks by ~4x in area (downscaled into one cell)
+    ratio = out_masks[0, 0].sum() / masks[0, 0].sum()
+    assert 0.15 < ratio < 0.35, ratio
+
+
+def test_affine_zero_area_retry():
+    """Affine applies by default (MOSE recipe) but must not wipe out the
+    first-frame target: with a tiny corner mask and extreme params the retry
+    loop either keeps a non-empty mask or skips the transform
+    (reference RandomAffine tentatives, transforms.py:344-358)."""
+    from sam2_opt_tpu.training.data import VideoAugmentations
+
+    rng_np = np.random.default_rng(5)
+    images = (rng_np.random((2, 64, 64, 3)) * 255).astype(np.uint8)
+    masks = np.zeros((2, 1, 64, 64), bool)
+    masks[:, 0, 0:3, 61:64] = True  # corner sliver: rotations often lose it
+
+    aug = VideoAugmentations(
+        hflip_prob=0.0, color_jitter_prob=0.0, grayscale_prob=0.0,
+        affine_prob=1.0, degrees=45.0, shear=30.0,
+    )
+    for seed in range(8):
+        _, out_masks = aug(images, masks, random.Random(seed))
+        assert out_masks[0].any(), f"seed {seed}: first-frame mask wiped out"
 
 
 def test_vos_dataset_multiplier(tmp_path):

@@ -27,14 +27,27 @@ p0 = jnp.ones((P,1,C), jnp.float32)*0.1
 mem = vc.MemoryInput(feats=tuple(m0[j] for j in range(S)), tpos_idx=tpos_idx,
     valid=valid, ptrs=tuple(p0[j] for j in range(P)), ptr_pos=ptr_pos, ptr_valid=ptr_valid)
 
-orig = opsc.flash_or_sdpa
+# patch at the kernel module: both flash_or_sdpa AND the fused-RoPE branch in
+# models/memory_attention.py resolve flash_attention from this module per call
+import sam2_opt_tpu.kernels.flash_attention as fa
+orig = fa.flash_attention
+orig_kv = fa.flash_attention_kv_proj
+WHICH = __import__("os").environ.get("SWEEP_WHICH", "both")  # plain|kvproj|both
 def set_blocks(bq, bk):
-    def f(q, k, v, kv_mask=None, min_seq=1024):
-        if q.shape[-2]*k.shape[-2] >= min_seq*min_seq:
-            return flash_attention(q, k, v, kv_mask=kv_mask, block_q=bq, block_k=bk)
-        mask = None if kv_mask is None else kv_mask[:, None, None, :]
-        return opsc.scaled_dot_product_attention(q, k, v, mask=mask)
-    opsc.flash_or_sdpa = f
+    def f(q, k, v, kv_mask=None, rope_cos_k=None, rope_sin_k=None, **kw):
+        kw.pop("block_q", None); kw.pop("block_k", None)
+        if WHICH == "kvproj":
+            return orig(q, k, v, kv_mask=kv_mask, rope_cos_k=rope_cos_k,
+                        rope_sin_k=rope_sin_k, **kw)
+        return orig(q, k, v, kv_mask=kv_mask, rope_cos_k=rope_cos_k,
+                    rope_sin_k=rope_sin_k, block_q=bq, block_k=bk, **kw)
+    def fkv(*a, **kw):
+        kw.pop("block_q", None); kw.pop("block_k", None)
+        if WHICH == "plain":
+            return orig_kv(*a, **kw)
+        return orig_kv(*a, block_q=bq, block_k=bk, **kw)
+    fa.flash_attention = f
+    fa.flash_attention_kv_proj = fkv
 
 def memattn_k_fn(bq, bk):
     @partial(jax.jit, static_argnames=("k",))
@@ -55,8 +68,17 @@ def rate(fn, k_lo=2, k_hi=24):
         return sorted(ts)[len(ts)//2]
     return max((timed(k_hi)-timed(k_lo))/(k_hi-k_lo), 1e-6)*1000
 
-for bq, bk in [(256,512),(512,512),(512,1024),(1024,1024),(1024,512),(2048,1024),(1024,2048),(4096,1024)]:
+import os
+SWEEP = os.environ.get("SWEEP")
+cands = ([tuple(int(x) for x in p.split("x")) for p in SWEEP.split(",")]
+         if SWEEP else
+         [(256,512),(512,512),(512,1024),(1024,1024),(1024,512),(2048,1024),(1024,2048),(4096,1024)])
+for bq, bk in cands:
     set_blocks(bq, bk)
-    ms = rate(memattn_k_fn(bq, bk))
-    print(json.dumps({"bq": bq, "bk": bk, "ms": round(ms,2)}))
-opsc.flash_or_sdpa = orig
+    try:
+        ms = rate(memattn_k_fn(bq, bk))
+        print(json.dumps({"bq": bq, "bk": bk, "ms": round(ms,2)}), flush=True)
+    except Exception as e:
+        print(json.dumps({"bq": bq, "bk": bk, "error": str(e)[:120]}), flush=True)
+fa.flash_attention = orig
+fa.flash_attention_kv_proj = orig_kv

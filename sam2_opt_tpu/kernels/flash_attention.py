@@ -28,7 +28,7 @@ NEG_INF = -1e30
 
 
 def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scr, l_scr, acc_scr, *,
-            scale: float, num_kv_blocks: int):
+            scale: float, num_kv_blocks: int, fast_exp: bool = False):
     ik = pl.program_id(2)
 
     @pl.when(ik == 0)
@@ -50,9 +50,17 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scr, l_scr, acc_scr, *,
     m_cur = jnp.max(s, axis=1, keepdims=True)   # [bq, 1]
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp(m_prev - m_new)             # [bq, 1]
-    p = jnp.exp(s - m_new)                      # [bq, bk]
-
-    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    if fast_exp:
+        # bf16 probabilities (the Pallas analogue of SAM2_TPU_FAST_SOFTMAX):
+        # bf16 shares fp32's exponent range so max-subtraction stays safe;
+        # the pv matmul still accumulates fp32 on the MXU
+        p = jnp.exp((s - m_new).astype(jnp.bfloat16))
+        l_new = l_scr[:, :1] * alpha + jnp.sum(
+            p, axis=1, keepdims=True
+        ).astype(jnp.float32)
+    else:
+        p = jnp.exp(s - m_new)                  # [bq, bk]
+        l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
     pv = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -70,7 +78,7 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scr, l_scr, acc_scr, *,
 
 def _kernel_rope(q_ref, k_ref, v_ref, mask_ref, cos_ref, sin_ref, o_ref,
                  m_scr, l_scr, acc_scr, *, scale: float, num_kv_blocks: int,
-                 d_half: int):
+                 d_half: int, fast_exp: bool = False):
     """Flash attention with partial RoPE applied to K IN-KERNEL, in the
     de-interleaved split channel layout (see ops/posenc.py split_perm): the
     kv stream is rotated as it is loaded, so K never makes an extra HBM
@@ -107,9 +115,14 @@ def _kernel_rope(q_ref, k_ref, v_ref, mask_ref, cos_ref, sin_ref, o_ref,
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
-
-    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    if fast_exp:
+        p = jnp.exp((s - m_new).astype(jnp.bfloat16))
+        l_new = l_scr[:, :1] * alpha + jnp.sum(
+            p, axis=1, keepdims=True
+        ).astype(jnp.float32)
+    else:
+        p = jnp.exp(s - m_new)
+        l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
     pv = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -202,14 +215,15 @@ def _pad_to(x, size, axis, value=0.0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-def _forward_impl(scale, bq, bk, interpret, qf, kf, vf, maskf):
+def _forward_impl(scale, bq, bk, interpret, fast, qf, kf, vf, maskf):
     """Padded-layout pallas forward. qf/kf/vf [N, S*, d_pad], maskf [N,1,skv]."""
     N, sq_pad, d_pad = qf.shape
     skv_pad = kf.shape[1]
     nq = sq_pad // bq
     nk = skv_pad // bk
     return pl.pallas_call(
-        functools.partial(_kernel, scale=scale, num_kv_blocks=nk),
+        functools.partial(_kernel, scale=scale, num_kv_blocks=nk,
+                          fast_exp=fast),
         grid=(N, nq, nk),
         in_specs=[
             pl.BlockSpec((1, bq, d_pad), lambda b, iq, ik: (b, iq, 0)),
@@ -228,8 +242,8 @@ def _forward_impl(scale, bq, bk, interpret, qf, kf, vf, maskf):
     )(qf, kf, vf, maskf)
 
 
-def _forward_impl_rope(scale, bq, bk, interpret, d_half, qf, kf, vf, maskf,
-                       cosf, sinf):
+def _forward_impl_rope(scale, bq, bk, interpret, d_half, fast, qf, kf, vf,
+                       maskf, cosf, sinf):
     """Rope-fused padded-layout forward. cosf/sinf: [skv_pad, d_half]."""
     N, sq_pad, d_pad = qf.shape
     skv_pad = kf.shape[1]
@@ -237,7 +251,7 @@ def _forward_impl_rope(scale, bq, bk, interpret, d_half, qf, kf, vf, maskf,
     nk = skv_pad // bk
     return pl.pallas_call(
         functools.partial(_kernel_rope, scale=scale, num_kv_blocks=nk,
-                          d_half=d_half),
+                          d_half=d_half, fast_exp=fast),
         grid=(N, nq, nk),
         in_specs=[
             pl.BlockSpec((1, bq, d_pad), lambda b, iq, ik: (b, iq, 0)),
@@ -268,23 +282,23 @@ def _rotate_split32(x, c, s, d_half):
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
-def _attn_core_rope(scale, bq, bk, interpret, d_half, qf, kf, vf, maskf,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _attn_core_rope(scale, bq, bk, interpret, d_half, fast, qf, kf, vf, maskf,
                     cosf, sinf):
     """Differentiable seam for the rope-fused kernel (exact softmax-recompute
     backward; rotation is linear, so dK is the transpose rotation of dK_rot)."""
-    return _forward_impl_rope(scale, bq, bk, interpret, d_half, qf, kf, vf,
-                              maskf, cosf, sinf)
+    return _forward_impl_rope(scale, bq, bk, interpret, d_half, fast, qf, kf,
+                              vf, maskf, cosf, sinf)
 
 
-def _attn_rope_fwd(scale, bq, bk, interpret, d_half, qf, kf, vf, maskf,
+def _attn_rope_fwd(scale, bq, bk, interpret, d_half, fast, qf, kf, vf, maskf,
                    cosf, sinf):
-    out = _forward_impl_rope(scale, bq, bk, interpret, d_half, qf, kf, vf,
-                             maskf, cosf, sinf)
+    out = _forward_impl_rope(scale, bq, bk, interpret, d_half, fast, qf, kf,
+                             vf, maskf, cosf, sinf)
     return out, (qf, kf, vf, maskf, cosf, sinf)
 
 
-def _attn_rope_bwd(scale, bq, bk, interpret, d_half, res, do):
+def _attn_rope_bwd(scale, bq, bk, interpret, d_half, fast, res, do):
     qf, kf, vf, maskf, cosf, sinf = res
     q32 = qf.astype(jnp.float32)
     c32 = cosf.astype(jnp.float32)[None]  # [1, skv, d_half]
@@ -496,20 +510,20 @@ def flash_attention_kv_proj(
     return out[:, None, :Sq, :D]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _attn_core(scale, bq, bk, interpret, qf, kf, vf, maskf):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _attn_core(scale, bq, bk, interpret, fast, qf, kf, vf, maskf):
     """Differentiable seam: Pallas kernel forward, exact softmax-recompute
     backward (pallas_call has no autodiff rule — without this, any training
     path that routes through the flash kernel fails to differentiate)."""
-    return _forward_impl(scale, bq, bk, interpret, qf, kf, vf, maskf)
+    return _forward_impl(scale, bq, bk, interpret, fast, qf, kf, vf, maskf)
 
 
-def _attn_fwd(scale, bq, bk, interpret, qf, kf, vf, maskf):
-    out = _forward_impl(scale, bq, bk, interpret, qf, kf, vf, maskf)
+def _attn_fwd(scale, bq, bk, interpret, fast, qf, kf, vf, maskf):
+    out = _forward_impl(scale, bq, bk, interpret, fast, qf, kf, vf, maskf)
     return out, (qf, kf, vf, maskf)
 
 
-def _attn_bwd(scale, bq, bk, interpret, res, do):
+def _attn_bwd(scale, bq, bk, interpret, fast, res, do):
     qf, kf, vf, maskf = res
     q32 = qf.astype(jnp.float32)
     k32 = kf.astype(jnp.float32)
@@ -537,13 +551,30 @@ def _attn_bwd(scale, bq, bk, interpret, res, do):
 _attn_core.defvjp(_attn_fwd, _attn_bwd)
 
 
+def _use_fast_exp(dtype) -> bool:
+    """bf16 in-kernel softmax probabilities (SAM2_TPU_KERNEL_FAST_EXP,
+    default OFF; bf16 inputs only, env-resolved at trace time).
+
+    Measured on v5e: SLOWER than the fp32 softmax (memory-attention stack
+    4.57 ms vs 4.0 ms) — the [bq, bk] bf16 cast costs more VPU time than the
+    narrower exp saves, unlike the XLA fast-softmax path where bf16 logits
+    also halve HBM traffic. Kept as an opt-in for other generations."""
+    import os
+
+    return (
+        dtype == jnp.bfloat16
+        and os.environ.get("SAM2_TPU_KERNEL_FAST_EXP", "0") == "1"
+    )
+
+
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+    jax.jit, static_argnames=("block_q", "block_k", "interpret", "fast_exp")
 )
 def flash_attention(
     q, k, v, kv_mask=None, rope_cos_k=None, rope_sin_k=None, *,
     block_q: Optional[int] = None,
     block_k: Optional[int] = None, interpret: bool = False,
+    fast_exp: Optional[bool] = None,
 ):
     # Default blocks autotuned on v5e (tools/tune_flash_blocks.py):
     # - plain path (1024, 1024): streams kv from HBM 4x instead of 16x for
@@ -594,6 +625,7 @@ def flash_attention(
     kf = _pad_to(_pad_to(k, skv_pad, 2), d_pad, 3).reshape(B * H, skv_pad, d_pad)
     vf = _pad_to(_pad_to(v, skv_pad, 2), d_pad, 3).reshape(B * H, skv_pad, d_pad)
 
+    fast = _use_fast_exp(q.dtype) if fast_exp is None else fast_exp
     if rope_cos_k is not None:
         d_half = D // 2
         assert rope_cos_k.shape == (Skv, d_half), (
@@ -602,9 +634,9 @@ def flash_attention(
         # pad rows with the identity rotation so padding slots stay inert
         cosf = _pad_to(rope_cos_k.astype(q.dtype), skv_pad, 0, value=1.0)
         sinf = _pad_to(rope_sin_k.astype(q.dtype), skv_pad, 0, value=0.0)
-        out = _attn_core_rope(scale, bq, bk, interpret, d_half, qf, kf, vf,
-                              maskf, cosf, sinf)
+        out = _attn_core_rope(scale, bq, bk, interpret, d_half, fast, qf, kf,
+                              vf, maskf, cosf, sinf)
     else:
-        out = _attn_core(scale, bq, bk, interpret, qf, kf, vf, maskf)
+        out = _attn_core(scale, bq, bk, interpret, fast, qf, kf, vf, maskf)
     out = out.reshape(B, H, sq_pad, d_pad)[:, :, :Sq, :D]
     return out

@@ -73,10 +73,16 @@ def _use_fused_rope(q_len: int, kv_len: int) -> bool:
 
 def _use_fused_kv_proj() -> bool:
     """Fuse the cross-attn K/V projections into the flash kernel
-    (SAM2_TPU_FUSED_KV_PROJ, default on; single-head cross-attn only)."""
+    (SAM2_TPU_FUSED_KV_PROJ, default OFF; single-head cross-attn only).
+
+    Measured on v5e: the memory-attention stack is MXU-compute-bound, and
+    the in-kernel per-block projections serialize against the attention
+    matmuls — 4.24 ms (best blocks 2048x512) vs 3.9 ms for the plain
+    rope-fused kernel with XLA-side projections. Kept behind the flag for
+    bandwidth-starved TPU generations where the 4x kv-stream saving wins."""
     import os
 
-    return os.environ.get("SAM2_TPU_FUSED_KV_PROJ", "1") != "0"
+    return os.environ.get("SAM2_TPU_FUSED_KV_PROJ", "0") == "1"
 
 
 def _perm_proj(p, perm):

@@ -218,6 +218,23 @@ def test_flash_rope_fused_gradients():
         assert err < 1e-4, f"d{name} err {err}"
 
 
+def test_flash_fast_exp_bf16_close_to_fp32():
+    """The in-kernel bf16-probability path (fast_exp, the Pallas analogue of
+    SAM2_TPU_FAST_SOFTMAX) must stay close to the fp32-softmax kernel on bf16
+    inputs; fp32 inputs never take it (parity path untouched)."""
+    rng = np.random.default_rng(41)
+    B, H, Sq, Skv, D = 1, 1, 256, 512, 64
+    q = jnp.asarray(rng.standard_normal((B, H, Sq, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, H, Skv, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, H, Skv, D)), jnp.bfloat16)
+    exact = flash_attention(q, k, v, block_q=128, block_k=128,
+                            interpret=True, fast_exp=False)
+    fast = flash_attention(q, k, v, block_q=128, block_k=128,
+                           interpret=True, fast_exp=True)
+    err = np.abs(np.asarray(fast, np.float32) - np.asarray(exact, np.float32)).max()
+    assert err < 0.05, err
+
+
 def test_flash_kv_proj_fused_matches_reference():
     """The kv-projection-fused kernel (K/V projected from mem_dim + bias +
     partial RoPE in-kernel) must match project-then-rotate-then-SDPA, and its

@@ -192,6 +192,18 @@ def main():
             "vs_baseline": round(1.0 / per_q / BASELINE_IMAGE_FPS, 3),
         })
 
+        # int8-encoder video propagation (speedup("int8") on the video
+        # predictor): tracking/memory stays bf16, like the reference's
+        # encoder-only TRT int8 engines
+        per_qv = _diff_rate(lambda k: video_step_k(qparams, img, k), 2, 12,
+                            f"int8 video propagation {variant}")
+        results.append({
+            "metric": f"video_propagation_int8_{variant}_fps",
+            "value": round(1.0 / per_qv, 3),
+            "unit": "frames/s/chip",
+            "vs_baseline": round(1.0 / per_qv / BASELINE_VIDEO_FPS, 3),
+        })
+
     for r in results:
         print(json.dumps(r))
 

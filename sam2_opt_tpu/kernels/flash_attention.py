@@ -580,13 +580,17 @@ def flash_attention(
     # - plain path (1024, 1024): streams kv from HBM 4x instead of 16x for
     #   the memory-attention shapes -> 5.5 ms vs 7.7 ms for the 4-layer
     #   stack pre-fusion;
-    # - rope-fused path (2048, 1024): the kernel carries cos/sin blocks but
-    #   no separate rotated-K tensor, leaving VMEM headroom for double-width
-    #   q blocks — 3.86 ms vs 4.07 ms at (1024, 1024) for the 4-layer stack.
-    # Larger blocks overflow the 16M scoped VMEM at d_pad=256, as do these
-    # sizes for 4-byte (fp32) inputs — those get half-size q blocks.
+    # - rope-fused CROSS path (2048, 1024): the kernel carries cos/sin blocks
+    #   but no separate rotated-K tensor, leaving VMEM headroom for
+    #   double-width q blocks — 3.86 ms vs 4.07 ms at (1024, 1024) for the
+    #   4-layer stack. Restricted to long-kv shapes: at Sq == Skv == 4096
+    #   (the rope SELF-attention) XLA may place an operand in VMEM depending
+    #   on the surrounding graph, and (2048, 1024) then overflows the 16M
+    #   scoped limit by ~1M (observed in the full track-step graph).
+    # Larger blocks always overflow at d_pad=256, as do these sizes for
+    # 4-byte (fp32) inputs — those get half-size q blocks.
     if block_q is None:
-        if rope_cos_k is not None:
+        if rope_cos_k is not None and k.shape[2] >= 8192:
             block_q = 2048 if q.dtype.itemsize <= 2 else 512
         else:
             block_q = 1024 if q.dtype.itemsize <= 2 else 512

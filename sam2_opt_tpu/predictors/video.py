@@ -127,10 +127,19 @@ class SAM2VideoPredictor:
         return self.cfg.memory_temporal_stride_for_eval
 
     def speedup(self, backend: str = "xla", use_cache: bool = True,
-                model_root_path=None, dtype=jnp.bfloat16):
+                model_root_path=None, dtype=jnp.bfloat16,
+                calib_dir=None, activation_quant: bool = True):
         """One-line acceleration (reference :45-145): compiles encoder + memory
-        attention + heads to XLA and warms up the hot shapes."""
-        self.model.speedup(backend=backend, use_cache=use_cache, dtype=dtype)
+        attention + heads to XLA and warms up the hot shapes. backend "int8"
+        additionally quantizes the image-encoder linears (weight-only, or
+        activation-quant with `calib_dir`) — the tracking head/memory path
+        stays bf16, mirroring the reference's encoder-only TRT int8 engines
+        (quant_image_encoder.py)."""
+        self.model.speedup(
+            backend=backend, use_cache=use_cache, dtype=dtype,
+            model_root_path=model_root_path, calib_dir=calib_dir,
+            activation_quant=activation_quant,
+        )
 
     def set_runtime_backend(self, backend="eager", args=None):
         self.model.set_runtime_backend(backend, args)

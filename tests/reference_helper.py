@@ -85,6 +85,93 @@ def setup_reference():
     _stub_module("hydra.core")
     _stub_module("hydra.core.global_hydra", GlobalHydra=_GH)
 
+    # torchvision stub (automatic_mask_generator.py imports batched_nms /
+    # box_area; pure-torch reimplementations are numerically sufficient)
+    import torch as _torch
+
+    def _box_area(boxes):
+        return (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+
+    def _batched_nms(boxes, scores, idxs, iou_threshold):
+        if boxes.numel() == 0:
+            return _torch.empty((0,), dtype=_torch.int64)
+        # offset boxes per category so NMS never crosses categories
+        offsets = idxs.to(boxes) * (boxes.max() + 1)
+        b = boxes + offsets[:, None]
+        order = scores.argsort(descending=True)
+        keep = []
+        suppressed = _torch.zeros(len(b), dtype=_torch.bool)
+        for i in order.tolist():
+            if suppressed[i]:
+                continue
+            keep.append(i)
+            x1 = _torch.maximum(b[i, 0], b[:, 0])
+            y1 = _torch.maximum(b[i, 1], b[:, 1])
+            x2 = _torch.minimum(b[i, 2], b[:, 2])
+            y2 = _torch.minimum(b[i, 3], b[:, 3])
+            inter = (x2 - x1).clamp(min=0) * (y2 - y1).clamp(min=0)
+            iou = inter / (_box_area(b[i : i + 1]) + _box_area(b) - inter)
+            suppressed |= iou > iou_threshold
+            suppressed[i] = True
+        return _torch.tensor(keep, dtype=_torch.int64)
+
+    class _Resize(_torch.nn.Module):
+        def __init__(self, size, *a, **k):
+            super().__init__()
+            self.size = (
+                (int(size), int(size)) if isinstance(size, int)
+                else (int(size[0]), int(size[1]))
+            )
+
+        def forward(self, x):
+            # torchvision's Resize accepts any number of leading dims
+            lead = x.shape[:-2]
+            flat = x.reshape((-1, 1) + x.shape[-2:])
+            y = _torch.nn.functional.interpolate(
+                flat, size=self.size, mode="bilinear",
+                align_corners=False, antialias=True,
+            )
+            return y.reshape(lead + self.size)
+
+    class _Normalize(_torch.nn.Module):
+        def __init__(self, mean, std, *a, **k):
+            super().__init__()
+            self.register_buffer("m", _torch.tensor(mean).view(-1, 1, 1))
+            self.register_buffer("s", _torch.tensor(std).view(-1, 1, 1))
+
+        def forward(self, x):
+            return (x - self.m) / self.s
+
+    class _ToTensor:
+        def __call__(self, x):
+            import numpy as _np
+
+            arr = _np.asarray(x)
+            t = _torch.from_numpy(arr.copy()).permute(2, 0, 1).float()
+            if arr.dtype == _np.uint8:
+                t = t / 255.0
+            return t
+
+    _stub_module("torchvision")
+    _stub_module("torchvision.ops")
+    _stub_module("torchvision.ops.boxes", batched_nms=_batched_nms,
+                 box_area=_box_area)
+    _stub_module("torchvision.transforms", Resize=_Resize,
+                 Normalize=_Normalize, ToTensor=_ToTensor)
+
+    # SAM2Transforms torch.jit.script's a Sequential of the stubs above;
+    # fall back to the eager module when scripting rejects them
+    _orig_script = _torch.jit.script
+    if not getattr(_torch.jit, "_sam2_safe_script", False):
+        def _safe_script(obj, *a, **k):
+            try:
+                return _orig_script(obj, *a, **k)
+            except Exception:
+                return obj
+
+        _torch.jit.script = _safe_script
+        _torch.jit._sam2_safe_script = True
+
     # iopath stub (hieradet.py imports g_pathmgr)
     class _PathMgr:
         def open(self, path, mode="r"):

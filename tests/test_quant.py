@@ -133,6 +133,38 @@ def test_speedup_int8_one_liner(tmp_path, tiny128_cfg, tiny128_params):
     assert miou(np.asarray(ref_masks), np.asarray(bq_masks)) >= 0.95
 
 
+def test_video_predictor_speedup_int8(tmp_path, tiny128_cfg, tiny128_params):
+    """`speedup("int8")` on the VIDEO predictor quantizes the encoder and the
+    predictor still tracks (encoder-only int8, tracking stays bf16 — the
+    reference's TRT int8 engines are encoder-only too)."""
+    from sam2_opt_tpu.models.model import SAM2Model
+    from sam2_opt_tpu.predictors.video import SAM2VideoPredictor
+    from sam2_opt_tpu.quant.int8 import is_quantized
+
+    model = SAM2Model(jax.tree_util.tree_map(jnp.copy, tiny128_params),
+                      tiny128_cfg)
+    vp = SAM2VideoPredictor(model, fill_hole_area=0)
+    vp.speedup("int8")  # weight-only without calib_dir
+    assert is_quantized(
+        model._compute_params["image_encoder"]["trunk"]["blocks"][0]["attn"]["qkv"]
+    )
+    # memory attention NOT quantized (encoder-only pattern)
+    assert not is_quantized(
+        model._compute_params["memory_attention"]["layers"][0]["self_attn"]["q_proj"]
+    )
+
+    rng = np.random.default_rng(6)
+    frames = (rng.random((3, 128, 128, 3)) * 255).astype(np.uint8)
+    st = vp.init_state(frames)
+    vp.add_new_points_or_box(
+        st, 0, 1, points=np.array([[40.0, 60.0]], np.float32),
+        labels=np.array([1], np.int32),
+    )
+    outs = {f: np.asarray(m) for f, _, m in vp.propagate_in_video(st)}
+    assert set(outs) == {0, 1, 2}
+    assert all(np.isfinite(m).all() for m in outs.values())
+
+
 def test_int8_mask_accuracy_gate(tiny128_cfg, tiny128_params):
     """End-to-end int8 accuracy gate (BASELINE config #5): masks from the
     int8-quantized encoder (weight-only AND activation-quant) must match the

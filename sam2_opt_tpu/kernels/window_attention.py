@@ -19,6 +19,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+NEG_INF = -1e30
+
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     q = q_ref[...]
@@ -66,3 +68,108 @@ def window_attention(q, k, v, *, block_n: int = 16, interpret: bool = False):
         interpret=interpret,
     )(pad_d(q), pad_d(k), pad_d(v))
     return out[:, :, :D]
+
+
+# --------------------------------------------------------------------------- #
+# Packed block-diagonal window attention
+# --------------------------------------------------------------------------- #
+#
+# Hiera's early stages run thousands of tiny windows (16 / 64 tokens, head
+# dim 72). Dispatching them as batched SDPA leaves the 128x128 MXU almost
+# idle: each logit matmul is at most 64x72x64. This kernel instead PACKS g
+# windows into one (g*S) x (g*S) matmul with a block-diagonal mask — the
+# off-diagonal logits are wasted FLOPs (trivial at these sizes) but every
+# matmul is now MXU-shaped, the softmax stays in VMEM, and q/k/v are consumed
+# in their natural [windows, tokens, heads, head_dim] layout (no SDPA
+# transposes). Scaling matches torch SDPA (1/sqrt(true head dim)).
+
+
+def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, sq: int,
+                   skv: int, heads: int):
+    g = q_ref.shape[0]
+    dpad = q_ref.shape[-1]
+    nq, nk = g * sq, g * skv
+    row_w = jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 0) // sq
+    col_w = jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 1) // skv
+    same = row_w == col_w
+    for h in range(heads):
+        q = q_ref[:, :, h, :].reshape(nq, dpad)
+        k = k_ref[:, :, h, :].reshape(nk, dpad)
+        v = v_ref[:, :, h, :].reshape(nk, dpad)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = jnp.where(same, s * scale, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / l).astype(v.dtype)
+        o = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[:, :, h, :] = o.reshape(g, sq, dpad).astype(o_ref.dtype)
+
+
+def _packed_fwd_impl(q, k, v):
+    """q [N, Sq, h, d], k/v [N, Skv, h, d] -> [N, Sq, h, d]."""
+    N, Sq, H, D = q.shape
+    Skv = k.shape[1]
+    scale = 1.0 / math.sqrt(D)
+    dpad = ((D + 127) // 128) * 128
+    # pack enough windows for ~512 matmul rows (256 for wide/4-byte blocks,
+    # keeping the block + its fp32 logits comfortably inside scoped VMEM)
+    target = 256 if (H >= 16 or q.dtype.itemsize > 2) else 512
+    g = max(1, target // max(Sq, Skv))
+    while N % g:
+        g -= 1
+
+    def pad_d(x):
+        if dpad == D:
+            return x
+        return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, dpad - D)))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _packed_kernel, scale=scale, sq=Sq, skv=Skv, heads=H
+        ),
+        interpret=jax.default_backend() not in ("tpu", "axon"),
+        grid=(N // g,),
+        in_specs=[
+            pl.BlockSpec((g, Sq, H, dpad), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((g, Skv, H, dpad), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((g, Skv, H, dpad), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((g, Sq, H, dpad), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, Sq, H, dpad), q.dtype),
+    )(pad_d(q), pad_d(k), pad_d(v))
+    return out[..., :D]
+
+
+@jax.custom_vjp
+def packed_window_attention(q, k, v):
+    """Fused per-window attention, [N, Sq, h, d] x [N, Skv, h, d] layouts."""
+    return _packed_fwd_impl(q, k, v)
+
+
+def _packed_vjp_fwd(q, k, v):
+    return _packed_fwd_impl(q, k, v), (q, k, v)
+
+
+def _packed_vjp_bwd(res, do):
+    # Exact softmax-recompute backward in plain XLA: per-window attention is
+    # independent, so batched (window, head) einsums need no mask.
+    q, k, v = res
+    D = q.shape[-1]
+    scale = 1.0 / math.sqrt(D)
+    qf, kf, vf, dof = (x.astype(jnp.float32) for x in (q, k, v, do))
+    s = jnp.einsum("nqhd,nkhd->nhqk", qf, kf) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    dp = jnp.einsum("nqhd,nkhd->nhqk", dof, vf)
+    dv = jnp.einsum("nhqk,nqhd->nkhd", p, dof)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("nhqk,nkhd->nqhd", ds, kf) * scale
+    dk = jnp.einsum("nhqk,nqhd->nkhd", ds, qf) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+packed_window_attention.defvjp(_packed_vjp_fwd, _packed_vjp_bwd)

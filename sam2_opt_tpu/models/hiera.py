@@ -8,6 +8,7 @@ encoder jit-compiles to a single XLA program.
 
 from __future__ import annotations
 
+import math
 from typing import List, Tuple
 
 import jax
@@ -23,10 +24,70 @@ def _do_pool(x, stride: Tuple[int, int]):
     return ops.max_pool2d(x, stride, stride)
 
 
+def _split_window_attention(p, x, num_heads: int):
+    """Windowed attention with split q/k/v projections and einsum attention in
+    the natural [windows, tokens, heads, head_dim] layout.
+
+    Equivalent math to the interleaved-qkv + SDPA path, but the three output
+    slices come straight out of their own matmuls (no strided gather from the
+    [.., 3, h, d] tensor) and the contraction runs without pre/post
+    [B,h,S,d] transposes. Measured on v5e (hiera-L, bf16): 0.159 -> 0.097 ms
+    per stage-3 block (~2 ms/encode over its 33 windowed blocks), with a
+    smaller gain at stage 1; stage 2's 16-token windows measured faster on
+    the interleaved path, hence the S >= 64 gate at the call site.
+    """
+    B, H, W, C = x.shape
+    S = H * W
+    head_dim = C // num_heads
+    xf = x.reshape(B, S, C)
+    qp = p["qkv"]
+
+    if "w_int8" in qp:
+        # Per-output-channel scales slice cleanly by column range, so each of
+        # q/k/v is its own quantized matmul (XLA CSEs the shared activation
+        # quantization on the act_scale path).
+        from sam2_opt_tpu.quant.int8 import quantized_linear
+
+        def proj(lo, hi):
+            sub = {"w_int8": qp["w_int8"][:, lo:hi], "w_scale": qp["w_scale"][lo:hi]}
+            if "bias" in qp:
+                sub["bias"] = qp["bias"][lo:hi]
+            if "act_scale" in qp:
+                sub["act_scale"] = qp["act_scale"]
+            return quantized_linear(sub, xf).reshape(B, S, num_heads, head_dim)
+    else:
+        wqkv, bqkv = qp["weight"], qp["bias"]
+
+        def proj(lo, hi):
+            y = jnp.matmul(xf, wqkv[:, lo:hi], preferred_element_type=x.dtype)
+            return (y + bqkv[lo:hi]).reshape(B, S, num_heads, head_dim)
+
+    q, k, v = proj(0, C), proj(C, 2 * C), proj(2 * C, 3 * C)
+    acc = x.dtype if ops.use_fast_softmax() else jnp.float32
+    s = jnp.einsum("nqhd,nkhd->nhqk", q, k, preferred_element_type=acc)
+    s = s * jnp.asarray(1.0 / math.sqrt(head_dim), acc)
+    probs = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum(
+        "nhqk,nkhd->nqhd", probs.astype(v.dtype), v,
+        preferred_element_type=x.dtype,
+    )
+    return ops.linear(p["proj"], out.reshape(B, H, W, C))
+
+
 def multiscale_attention(p, x, num_heads: int, q_stride=None):
     """Windowed/global attention with optional query pooling
     (reference hieradet.py:39-81). x: [B, H, W, C] -> [B, H', W', C_out]."""
     B, H, W, _ = x.shape
+
+    # bf16 TPU fast path for the mid-size windows (see _split_window_attention)
+    if (
+        q_stride is None
+        and 64 <= H * W <= 1024
+        and x.dtype == jnp.bfloat16
+        and ops.use_flash_attention()
+    ):
+        return _split_window_attention(p, x, num_heads)
+
     qkv = ops.linear(p["qkv"], x.reshape(B, H * W, -1))
     qkv = qkv.reshape(B, H * W, 3, num_heads, -1)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
@@ -47,14 +108,31 @@ def multiscale_attention(p, x, num_heads: int, q_stride=None):
     return ops.linear(p["proj"], out)
 
 
-def multiscale_block(p, x, spec: dict, q_stride: Tuple[int, int], mlp_ratio: float):
-    """One Hiera block (reference hieradet.py:84-166)."""
+def multiscale_block(p, x, spec: dict, q_stride: Tuple[int, int], mlp_ratio: float,
+                     windowed: bool = False):
+    """One Hiera block (reference hieradet.py:84-166).
+
+    `windowed=True` means x is ALREADY in window layout ([B*nW, ws, ws, C])
+    and the output stays windowed: residual/LN/MLP are pointwise over tokens,
+    so consecutive same-window blocks can skip the unpartition -> partition
+    HBM round trip between them entirely (the caller hoists the layout
+    changes to window-run boundaries). Only valid for non-pooling windowed
+    blocks with dim == dim_out — which is every block that is not a stage
+    transition or a global block.
+    """
     dim, dim_out = spec["dim"], spec["dim_out"]
     window_size = spec["window_size"]
     has_pool = spec["q_pool"]
 
     shortcut = x
     x = ops.layer_norm(p["norm1"], x, eps=1e-6)
+
+    if windowed:
+        x = shortcut + multiscale_attention(p["attn"], x, spec["num_heads"])
+        return x + ops.mlp(
+            p["mlp"], ops.layer_norm(p["norm2"], x, eps=1e-6),
+            num_layers=2, activation=ops.gelu,
+        )
 
     if dim != dim_out:
         shortcut = ops.linear(p["proj"], x)
@@ -115,9 +193,40 @@ def hiera(p, x, cfg: HieraConfig) -> List[jnp.ndarray]:
     plan = cfg.block_plan()
     stage_ends = set(cfg.stage_ends)
     outputs = []
+    # Window-run layout persistence: between consecutive windowed blocks with
+    # the same window size (no pooling, no padding) the unpartition ->
+    # partition pair is the identity on real tokens (everything between is
+    # pointwise), so the tensor stays in window layout across the run and the
+    # HBM transpose round trips collapse to one per run boundary.
+    cur_ws = 0          # 0 = flat [B, H, W, C]
+    flat_hw = None      # (H, W) of the flat view while windowed
     for i, spec in enumerate(plan):
-        x = multiscale_block(p["blocks"][i], x, spec, cfg.q_stride, cfg.mlp_ratio)
+        ws = spec["window_size"]
+        runnable = (
+            ws > 0
+            and not spec["q_pool"]
+            and spec["dim"] == spec["dim_out"]
+            and (x.shape[1] % ws == 0 and x.shape[2] % ws == 0
+                 if cur_ws == 0 else cur_ws == ws)
+        )
+        want_ws = ws if runnable else 0
+        if cur_ws != want_ws:
+            if cur_ws != 0:
+                x = ops.window_unpartition(
+                    x, cur_ws, flat_hw, flat_hw
+                )
+            if want_ws != 0:
+                flat_hw = (x.shape[1], x.shape[2])
+                x, _ = ops.window_partition(x, want_ws)
+            cur_ws = want_ws
+        x = multiscale_block(
+            p["blocks"][i], x, spec, cfg.q_stride, cfg.mlp_ratio,
+            windowed=cur_ws != 0,
+        )
         if i in stage_ends:
+            if cur_ws != 0:
+                x = ops.window_unpartition(x, cur_ws, flat_hw, flat_hw)
+                cur_ws = 0
             outputs.append(x)
     return outputs
 

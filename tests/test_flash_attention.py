@@ -54,6 +54,54 @@ def test_window_kernel_matches_sdpa():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_packed_window_kernel_matches_sdpa():
+    """The packed block-diagonal window kernel must equal per-window SDPA:
+    the off-diagonal logits it spends on MXU shaping are masked to -inf and
+    cannot leak across windows."""
+    from sam2_opt_tpu.kernels.window_attention import packed_window_attention
+
+    rng = np.random.default_rng(51)
+    N, S, H, D = 24, 16, 4, 72
+    q = jnp.asarray(rng.standard_normal((N, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((N, S, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((N, S, H, D)), jnp.float32)
+    out = packed_window_attention(q, k, v)
+    ref = scaled_dot_product_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+    ).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_packed_window_kernel_gradients():
+    """packed_window_attention's custom VJP (plain-XLA softmax recompute,
+    per-window einsums) must match autodiff through SDPA."""
+    from sam2_opt_tpu.kernels.window_attention import packed_window_attention
+
+    rng = np.random.default_rng(52)
+    N, S, H, D = 6, 16, 2, 32
+    q = jnp.asarray(rng.standard_normal((N, S, H, D)) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((N, S, H, D)) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((N, S, H, D)) * 0.3, jnp.float32)
+
+    def loss_packed(q, k, v):
+        return jnp.sum(packed_window_attention(q, k, v) ** 2)
+
+    def loss_ref(q, k, v):
+        o = scaled_dot_product_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+        ).transpose(0, 2, 1, 3)
+        return jnp.sum(o * o)
+
+    gp = jax.grad(loss_packed, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gp, gr, "qkv"):
+        err = float(jnp.max(jnp.abs(a - b)))
+        assert err < 1e-4, f"d{name} err {err}"
+
+
 def test_flash_or_sdpa_window_flag(monkeypatch):
     """The SAM2_TPU_WINDOW_KERNEL=1 dispatch path is wired and numerically
     consistent with the default path."""

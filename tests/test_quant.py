@@ -165,6 +165,42 @@ def test_video_predictor_speedup_int8(tmp_path, tiny128_cfg, tiny128_params):
     assert all(np.isfinite(m).all() for m in outs.values())
 
 
+def test_split_window_attention_matches_interleaved(monkeypatch):
+    """Hiera's bf16 split-qkv einsum fast path (models/hiera.py) must match
+    the interleaved-qkv + SDPA path for both plain and int8-quantized qkv
+    weights — per-output-channel scales slice cleanly by column range, so the
+    three split projections are exact."""
+    from sam2_opt_tpu.models import hiera
+
+    rng = np.random.default_rng(7)
+    C, heads = 64, 2
+    w = rng.standard_normal((C, 3 * C)).astype(np.float32) * 0.1
+    b = rng.standard_normal(3 * C).astype(np.float32) * 0.01
+    wp = rng.standard_normal((C, C)).astype(np.float32) * 0.1
+    bp = rng.standard_normal(C).astype(np.float32) * 0.01
+    x = jnp.asarray(rng.standard_normal((4, 8, 8, C)), jnp.bfloat16)
+    proj = {"weight": jnp.asarray(wp), "bias": jnp.asarray(bp)}
+
+    q8, s8 = quantize_weight(w)
+    variants = {
+        "plain": {"weight": jnp.asarray(w), "bias": jnp.asarray(b)},
+        "int8_weight_only": {"w_int8": jnp.asarray(q8),
+                             "w_scale": jnp.asarray(s8),
+                             "bias": jnp.asarray(b)},
+        "int8_act": {"w_int8": jnp.asarray(q8), "w_scale": jnp.asarray(s8),
+                     "bias": jnp.asarray(b),
+                     "act_scale": jnp.asarray(3.0 / 127.0, jnp.float32)},
+    }
+    for name, qkv in variants.items():
+        p = {"qkv": qkv, "proj": proj}
+        monkeypatch.setenv("SAM2_TPU_FLASH", "1")  # fast path gate on
+        fast = np.asarray(hiera.multiscale_attention(p, x, heads), np.float32)
+        monkeypatch.setenv("SAM2_TPU_FLASH", "0")  # interleaved + SDPA
+        ref = np.asarray(hiera.multiscale_attention(p, x, heads), np.float32)
+        err = np.abs(fast - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert err < 0.05, f"{name}: rel err {err}"
+
+
 def test_int8_mask_accuracy_gate(tiny128_cfg, tiny128_params):
     """End-to-end int8 accuracy gate (BASELINE config #5): masks from the
     int8-quantized encoder (weight-only AND activation-quant) must match the

@@ -24,7 +24,66 @@ def _do_pool(x, stride: Tuple[int, int]):
     return ops.max_pool2d(x, stride, stride)
 
 
-def _split_window_attention(p, x, num_heads: int):
+def _patch_embed_s2d(p, x):
+    """7x7 stride-4 pad-3 patch embed as space-to-depth + 2x2 conv.
+
+    The direct conv contracts only 3 input channels per tap — ~1% MXU
+    utilization, measured 1.36 ms of the hiera-L encode on v5e. Rewriting it
+    as: pad the kernel to 8x8 (zero tap), space-to-depth the input by 4
+    (exact for stride 4), then a VALID 2x2 conv over 4*4*3=48 packed
+    channels, computes the identical sums with an MXU-shaped contraction
+    (192 wide). Output o reads padded columns [4o, 4o+8) = original taps
+    [4o-3, 4o+4]; the added tap is zero-weighted, and the trailing
+    pad/output row is sliced off.
+    """
+    w, b = p["proj"]["weight"], p["proj"]["bias"]  # [7,7,3,C] HWIO
+    B, H, W, Cin = x.shape
+    C = w.shape[-1]
+    # kernel: [7,7,3,C] -> zero-pad to [8,8,3,C] -> [2,4,2,4,3,C] -> [2,2,48,C]
+    w8 = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    w8 = w8.reshape(2, 4, 2, 4, Cin, C).transpose(0, 2, 1, 3, 4, 5)
+    w8 = w8.reshape(2, 2, 16 * Cin, C).astype(x.dtype)
+    # input: pad (3,5) -> [B, H/4+2, W/4+2, 48]
+    xq = jnp.pad(x, ((0, 0), (3, 5), (3, 5), (0, 0)))
+    hb, wb = xq.shape[1] // 4, xq.shape[2] // 4
+    xs = xq.reshape(B, hb, 4, wb, 4, Cin).transpose(0, 1, 3, 2, 4, 5)
+    xs = xs.reshape(B, hb, wb, 16 * Cin)
+    y = jax.lax.conv_general_dilated(
+        xs, w8, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+    return y[:, : H // 4, : W // 4, :] + b.astype(x.dtype)
+
+
+def _packed_window_max_tokens() -> int:
+    """Windows with <= this many tokens route to the packed block-diagonal
+    Pallas kernel (kernels/window_attention.py) instead of the einsum path.
+    Env override SAM2_TPU_PACKED_WINDOW=<max tokens|0>."""
+    import os
+
+    v = os.environ.get("SAM2_TPU_PACKED_WINDOW", "")
+    if v:
+        try:
+            return int(v)
+        except ValueError:
+            return 0
+    return 0
+
+
+def _split_window_min_tokens() -> int:
+    """Smallest window (tokens) routed to the split-qkv einsum path; smaller
+    windows keep the interleaved SDPA path. Env override
+    SAM2_TPU_SPLIT_WINDOW_MIN (default 64, the measured v5e crossover)."""
+    import os
+
+    try:
+        return int(os.environ.get("SAM2_TPU_SPLIT_WINDOW_MIN", "64"))
+    except ValueError:
+        return 64
+
+
+def _split_window_attention(p, x, num_heads: int, packed: bool = False):
     """Windowed attention with split q/k/v projections and einsum attention in
     the natural [windows, tokens, heads, head_dim] layout.
 
@@ -63,14 +122,19 @@ def _split_window_attention(p, x, num_heads: int):
             return (y + bqkv[lo:hi]).reshape(B, S, num_heads, head_dim)
 
     q, k, v = proj(0, C), proj(C, 2 * C), proj(2 * C, 3 * C)
-    acc = x.dtype if ops.use_fast_softmax() else jnp.float32
-    s = jnp.einsum("nqhd,nkhd->nhqk", q, k, preferred_element_type=acc)
-    s = s * jnp.asarray(1.0 / math.sqrt(head_dim), acc)
-    probs = jax.nn.softmax(s, axis=-1)
-    out = jnp.einsum(
-        "nhqk,nkhd->nqhd", probs.astype(v.dtype), v,
-        preferred_element_type=x.dtype,
-    )
+    if packed:
+        from sam2_opt_tpu.kernels.window_attention import packed_window_attention
+
+        out = packed_window_attention(q, k, v)
+    else:
+        acc = x.dtype if ops.use_fast_softmax() else jnp.float32
+        s = jnp.einsum("nqhd,nkhd->nhqk", q, k, preferred_element_type=acc)
+        s = s * jnp.asarray(1.0 / math.sqrt(head_dim), acc)
+        probs = jax.nn.softmax(s, axis=-1)
+        out = jnp.einsum(
+            "nhqk,nkhd->nqhd", probs.astype(v.dtype), v,
+            preferred_element_type=x.dtype,
+        )
     return ops.linear(p["proj"], out.reshape(B, H, W, C))
 
 
@@ -79,14 +143,17 @@ def multiscale_attention(p, x, num_heads: int, q_stride=None):
     (reference hieradet.py:39-81). x: [B, H, W, C] -> [B, H', W', C_out]."""
     B, H, W, _ = x.shape
 
-    # bf16 TPU fast path for the mid-size windows (see _split_window_attention)
+    # bf16 TPU fast paths for the windowed blocks (see _split_window_attention)
     if (
         q_stride is None
-        and 64 <= H * W <= 1024
         and x.dtype == jnp.bfloat16
         and ops.use_flash_attention()
     ):
-        return _split_window_attention(p, x, num_heads)
+        S = H * W
+        if S <= _packed_window_max_tokens():
+            return _split_window_attention(p, x, num_heads, packed=True)
+        if _split_window_min_tokens() <= S <= 1024:
+            return _split_window_attention(p, x, num_heads)
 
     qkv = ops.linear(p["qkv"], x.reshape(B, H * W, -1))
     qkv = qkv.reshape(B, H * W, 3, num_heads, -1)
@@ -182,12 +249,22 @@ def hiera_pos_embed(p, h: int, w: int, cfg: HieraConfig):
 def hiera(p, x, cfg: HieraConfig) -> List[jnp.ndarray]:
     """Full trunk: [B, H, W, 3] image -> 4-scale NHWC feature pyramid,
     highest resolution first (reference hieradet.py:283-299)."""
-    x = ops.conv2d(
-        p["patch_embed"]["proj"],
-        x,
-        stride=cfg.patch_stride,
-        padding=[(cfg.patch_padding[0],) * 2, (cfg.patch_padding[1],) * 2],
-    )
+    if (
+        x.dtype == jnp.bfloat16
+        and cfg.patch_stride == (4, 4)
+        and cfg.patch_padding == (3, 3)
+        and p["patch_embed"]["proj"]["weight"].shape[:2] == (7, 7)
+        and x.shape[1] % 4 == 0
+        and x.shape[2] % 4 == 0
+    ):
+        x = _patch_embed_s2d(p["patch_embed"], x)
+    else:
+        x = ops.conv2d(
+            p["patch_embed"]["proj"],
+            x,
+            stride=cfg.patch_stride,
+            padding=[(cfg.patch_padding[0],) * 2, (cfg.patch_padding[1],) * 2],
+        )
     x = x + hiera_pos_embed(p, x.shape[1], x.shape[2], cfg).astype(x.dtype)
 
     plan = cfg.block_plan()

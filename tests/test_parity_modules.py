@@ -79,6 +79,19 @@ def test_memory_encoder_parity(torch_model, params):
     assert max_err(to_nchw(pos_j), pos_t) < 1e-5
 
 
+def test_packed_mask_downsampler_matches_canonical(params):
+    """The phase-packed (s2d) downsampler is an exact re-layout of the
+    canonical k3/s2 conv stack (memory_encoder.py:mask_downsampler_packed)."""
+    p = params["memory_encoder"]["mask_downsampler"]
+    rng = np.random.default_rng(3)
+    for shape in ((1, 1024, 1024, 1), (2, 512, 768, 1)):
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        a = me.mask_downsampler(p, x, CFG.memory_encoder)
+        b = me.mask_downsampler_packed(p, x, CFG.memory_encoder)
+        assert a.shape == b.shape
+        assert max_err(a, b) < 1e-4
+
+
 def test_prompt_encoder_parity(torch_model, params):
     import torch
 

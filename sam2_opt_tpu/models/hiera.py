@@ -175,6 +175,34 @@ def multiscale_attention(p, x, num_heads: int, q_stride=None):
     return ops.linear(p["proj"], out)
 
 
+def _use_fused_mlp() -> bool:
+    """Opt-in route through kernels/fused_mlp.py (SAM2_TPU_FUSED_MLP=1).
+
+    MEASURED NEGATIVE on v5e (kept for other TPU generations): the Pallas
+    fused MLP loses 15-55% to XLA's unfused graph at every hiera stage shape
+    (s1 274 vs 177 us, s3 157 vs 137 us) — XLA overlaps the hidden tensor's
+    HBM round trip with MXU compute, so the fusion saves no wall-clock, and
+    the in-kernel GELU serializes VPU work between the two matmuls."""
+    import os
+
+    return os.environ.get("SAM2_TPU_FUSED_MLP", "0") == "1"
+
+
+def _block_mlp(p, x):
+    """norm2 + 2-layer GELU MLP + residual, with the optional fused route."""
+    xn = ops.layer_norm(p["norm2"], x, eps=1e-6)
+    if x.dtype == jnp.bfloat16 and _use_fused_mlp():
+        from sam2_opt_tpu.kernels.fused_mlp import fused_mlp
+
+        m = p["mlp"]["layers"]
+        return x + fused_mlp(
+            xn, m[0]["weight"], m[0]["bias"], m[1]["weight"], m[1]["bias"],
+            fast_act=True,
+            interpret=jax.default_backend() not in ("tpu", "axon"),
+        )
+    return x + ops.mlp(p["mlp"], xn, num_layers=2, activation=ops.gelu)
+
+
 def multiscale_block(p, x, spec: dict, q_stride: Tuple[int, int], mlp_ratio: float,
                      windowed: bool = False):
     """One Hiera block (reference hieradet.py:84-166).
@@ -196,10 +224,7 @@ def multiscale_block(p, x, spec: dict, q_stride: Tuple[int, int], mlp_ratio: flo
 
     if windowed:
         x = shortcut + multiscale_attention(p["attn"], x, spec["num_heads"])
-        return x + ops.mlp(
-            p["mlp"], ops.layer_norm(p["norm2"], x, eps=1e-6),
-            num_layers=2, activation=ops.gelu,
-        )
+        return _block_mlp(p, x)
 
     if dim != dim_out:
         shortcut = ops.linear(p["proj"], x)
@@ -228,10 +253,7 @@ def multiscale_block(p, x, spec: dict, q_stride: Tuple[int, int], mlp_ratio: flo
         x = ops.window_unpartition(x, out_ws, pad_hw, (H, W))
 
     x = shortcut + x
-    x = x + ops.mlp(
-        p["mlp"], ops.layer_norm(p["norm2"], x, eps=1e-6), num_layers=2, activation=ops.gelu
-    )
-    return x
+    return _block_mlp(p, x)
 
 
 def hiera_pos_embed(p, h: int, w: int, cfg: HieraConfig):

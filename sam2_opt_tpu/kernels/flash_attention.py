@@ -590,7 +590,12 @@ def flash_attention(
     # Larger blocks always overflow at d_pad=256, as do these sizes for
     # 4-byte (fp32) inputs — those get half-size q blocks.
     if block_q is None:
-        if rope_cos_k is not None and k.shape[2] >= 8192:
+        if (rope_cos_k is not None and k.shape[2] >= 8192
+                and q.shape[0] * q.shape[1] == 1):
+            # double-width q blocks only for the single-sequence cross shape:
+            # with a leading batch (object-batched tracking, B=8) XLA keeps
+            # batched operands in scoped VMEM around the call and (2048,1024)
+            # overflows the 16M limit (observed: 17.96M at B=8, Skv=29696)
             block_q = 2048 if q.dtype.itemsize <= 2 else 512
         else:
             block_q = 1024 if q.dtype.itemsize <= 2 else 512

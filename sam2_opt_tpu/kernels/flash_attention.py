@@ -24,28 +24,26 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from sam2_opt_tpu.ops.posenc import apply_rotary_split
+
 NEG_INF = -1e30
 
 
-def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scr, l_scr, acc_scr, *,
-            scale: float, num_kv_blocks: int, fast_exp: bool = False):
-    ik = pl.program_id(2)
+# --------------------------------------------------------------------------- #
+# Shared online-softmax accumulator (traced Python — zero runtime cost to
+# share across the kernel variants; only the score prologue differs).
+# --------------------------------------------------------------------------- #
 
-    @pl.when(ik == 0)
-    def _init():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]  # [bq, d]
-    k = k_ref[0]  # [bk, d]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = s * scale
-    mask = mask_ref[0]  # [1, bk] int32 (1 = valid)
-    s = jnp.where(mask > 0, s, NEG_INF)
+def _ns_init(m_scr, l_scr, acc_scr):
+    m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+    l_scr[:] = jnp.zeros_like(l_scr)
+    acc_scr[:] = jnp.zeros_like(acc_scr)
 
+
+def _ns_update(s, v, m_scr, l_scr, acc_scr, fast_exp: bool):
+    """One blockwise update: fold score block s [bq, bk] and value block
+    v [bk, d] into the running (m, l, acc) scratch."""
     m_prev = m_scr[:, :1]                       # [bq, 1]
     m_cur = jnp.max(s, axis=1, keepdims=True)   # [bq, 1]
     m_new = jnp.maximum(m_prev, m_cur)
@@ -62,23 +60,56 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scr, l_scr, acc_scr, *,
         p = jnp.exp(s - m_new)                  # [bq, bk]
         l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
     pv = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     acc_scr[:] = acc_scr[:] * alpha + pv
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
     l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
+
+def _ns_finish(o_ref, m_scr, l_scr, acc_scr):
+    """Final normalize + store.
+
+    A row with EVERY kv position masked keeps m == NEG_INF, and its
+    p = exp(s - m) = exp(0) = 1 at the masked positions — l ends at Skv
+    (never 0), acc at sum(V), so an l==0 guard would be dead code. Gate on m
+    instead: the correct output for such a row is zeros. (A fully-masked
+    BLOCK in an otherwise valid row is already exact: exp(NEG_INF - m_real)
+    underflows to 0, and a poisoned prefix is rescaled away by
+    alpha = exp(NEG_INF - m_real) = 0.)"""
+    l = l_scr[:, :1]
+    seen_valid = m_scr[:, :1] > NEG_INF * 0.5
+    l = jnp.where(seen_valid, l, 1.0)
+    o_ref[0] = jnp.where(seen_valid, acc_scr[:] / l, 0.0).astype(o_ref.dtype)
+
+
+def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scr, l_scr, acc_scr, *,
+            scale: float, num_kv_blocks: int, fast_exp: bool = False):
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        _ns_init(m_scr, l_scr, acc_scr)
+
+    q = q_ref[0]  # [bq, d]
+    k = k_ref[0]  # [bk, d]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale
+    mask = mask_ref[0]  # [1, bk] int32 (1 = valid)
+    s = jnp.where(mask > 0, s, NEG_INF)
+    _ns_update(s, v_ref[0], m_scr, l_scr, acc_scr, fast_exp)
+
     @pl.when(ik == num_kv_blocks - 1)
     def _finish():
-        l = l_scr[:, :1]
-        l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        _ns_finish(o_ref, m_scr, l_scr, acc_scr)
 
 
 def _kernel_rope(q_ref, k_ref, v_ref, mask_ref, cos_ref, sin_ref, o_ref,
                  m_scr, l_scr, acc_scr, *, scale: float, num_kv_blocks: int,
-                 d_half: int, fast_exp: bool = False):
+                 fast_exp: bool = False):
     """Flash attention with partial RoPE applied to K IN-KERNEL, in the
     de-interleaved split channel layout (see ops/posenc.py split_perm): the
     kv stream is rotated as it is loaded, so K never makes an extra HBM
@@ -90,19 +121,11 @@ def _kernel_rope(q_ref, k_ref, v_ref, mask_ref, cos_ref, sin_ref, o_ref,
 
     @pl.when(ik == 0)
     def _init():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
+        _ns_init(m_scr, l_scr, acc_scr)
 
     q = q_ref[0]  # [bq, d] (already rotated by the wrapper)
     k = k_ref[0]  # [bk, d] unrotated, split layout
-    c = cos_ref[...]  # [bk, d_half]
-    s_t = sin_ref[...]
-    k1 = k[:, :d_half]
-    k2 = k[:, d_half : 2 * d_half]
-    kr = jnp.concatenate([k1 * c - k2 * s_t, k1 * s_t + k2 * c], axis=1)
-    if 2 * d_half < k.shape[1]:
-        kr = jnp.concatenate([kr, k[:, 2 * d_half :]], axis=1)
+    kr = apply_rotary_split(k, cos_ref[...], sin_ref[...])  # [bk, d_half] tbls
 
     s = jax.lax.dot_general(
         q, kr, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -110,38 +133,17 @@ def _kernel_rope(q_ref, k_ref, v_ref, mask_ref, cos_ref, sin_ref, o_ref,
     s = s * scale
     mask = mask_ref[0]  # [1, bk]
     s = jnp.where(mask > 0, s, NEG_INF)
-
-    m_prev = m_scr[:, :1]
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    if fast_exp:
-        p = jnp.exp((s - m_new).astype(jnp.bfloat16))
-        l_new = l_scr[:, :1] * alpha + jnp.sum(
-            p, axis=1, keepdims=True
-        ).astype(jnp.float32)
-    else:
-        p = jnp.exp(s - m_new)
-        l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    pv = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    acc_scr[:] = acc_scr[:] * alpha + pv
-    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+    _ns_update(s, v_ref[0], m_scr, l_scr, acc_scr, fast_exp)
 
     @pl.when(ik == num_kv_blocks - 1)
     def _finish():
-        l = l_scr[:, :1]
-        l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        _ns_finish(o_ref, m_scr, l_scr, acc_scr)
 
 
 def _kernel_rope_kvproj(q_ref, k_ref, v_ref, wk_ref, bk_ref, wv_ref, bv_ref,
                         mask_ref, cos_ref, sin_ref, o_ref,
                         m_scr, l_scr, acc_scr, *, scale: float,
-                        num_kv_blocks: int, d_half: int):
+                        num_kv_blocks: int):
     """Flash attention with the per-layer K/V PROJECTIONS (mem_dim -> d_model,
     reference memory_attention.py cross_attn kv_in_dim=64) fused in-kernel on
     top of the RoPE fusion: the kv stream stays mem_dim wide in HBM (4x less
@@ -152,9 +154,7 @@ def _kernel_rope_kvproj(q_ref, k_ref, v_ref, wk_ref, bk_ref, wv_ref, bv_ref,
 
     @pl.when(ik == 0)
     def _init():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
+        _ns_init(m_scr, l_scr, acc_scr)
 
     q = q_ref[0]    # [bq, d] (already projected + rotated by the wrapper)
     k64 = k_ref[0]  # [bk, dm_pad] pos-added memory tokens
@@ -164,13 +164,7 @@ def _kernel_rope_kvproj(q_ref, k_ref, v_ref, wk_ref, bk_ref, wv_ref, bv_ref,
         preferred_element_type=jnp.float32,
     ) + bk_ref[...]
     kp = kp.astype(q.dtype)  # match the unfused path's bf16 projection output
-    c = cos_ref[...]
-    s_t = sin_ref[...]
-    k1 = kp[:, :d_half]
-    k2 = kp[:, d_half : 2 * d_half]
-    kr = jnp.concatenate([k1 * c - k2 * s_t, k1 * s_t + k2 * c], axis=1)
-    if 2 * d_half < kp.shape[1]:
-        kr = jnp.concatenate([kr, kp[:, 2 * d_half :]], axis=1)
+    kr = apply_rotary_split(kp, cos_ref[...], sin_ref[...])
 
     s = jax.lax.dot_general(
         q, kr, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -179,31 +173,16 @@ def _kernel_rope_kvproj(q_ref, k_ref, v_ref, wk_ref, bk_ref, wv_ref, bv_ref,
     mask = mask_ref[0]
     s = jnp.where(mask > 0, s, NEG_INF)
 
-    m_prev = m_scr[:, :1]
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
-
-    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
     vp = jax.lax.dot_general(
         v64, wv_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bv_ref[...]
     vp = vp.astype(q.dtype)
-    pv = jax.lax.dot_general(
-        p.astype(vp.dtype), vp, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    acc_scr[:] = acc_scr[:] * alpha + pv
-    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+    _ns_update(s, vp, m_scr, l_scr, acc_scr, fast_exp=False)
 
     @pl.when(ik == num_kv_blocks - 1)
     def _finish():
-        l = l_scr[:, :1]
-        l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        _ns_finish(o_ref, m_scr, l_scr, acc_scr)
 
 
 def _pad_to(x, size, axis, value=0.0):
@@ -251,7 +230,7 @@ def _forward_impl_rope(scale, bq, bk, interpret, d_half, fast, qf, kf, vf,
     nk = skv_pad // bk
     return pl.pallas_call(
         functools.partial(_kernel_rope, scale=scale, num_kv_blocks=nk,
-                          d_half=d_half, fast_exp=fast),
+                          fast_exp=fast),
         grid=(N, nq, nk),
         in_specs=[
             pl.BlockSpec((1, bq, d_pad), lambda b, iq, ik: (b, iq, 0)),
@@ -270,16 +249,6 @@ def _forward_impl_rope(scale, bq, bk, interpret, d_half, fast, qf, kf, vf,
         ],
         interpret=interpret,
     )(qf, kf, vf, maskf, cosf, sinf)
-
-
-def _rotate_split32(x, c, s, d_half):
-    """fp32 split-layout rotation on [..., d]; tail channels untouched."""
-    x1 = x[..., :d_half]
-    x2 = x[..., d_half : 2 * d_half]
-    out = jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c], axis=-1)
-    if x.shape[-1] > 2 * d_half:
-        out = jnp.concatenate([out, x[..., 2 * d_half :]], axis=-1)
-    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
@@ -303,7 +272,7 @@ def _attn_rope_bwd(scale, bq, bk, interpret, d_half, fast, res, do):
     q32 = qf.astype(jnp.float32)
     c32 = cosf.astype(jnp.float32)[None]  # [1, skv, d_half]
     s32 = sinf.astype(jnp.float32)[None]
-    k32 = _rotate_split32(kf.astype(jnp.float32), c32, s32, d_half)
+    k32 = apply_rotary_split(kf.astype(jnp.float32), c32, s32)
     v32 = vf.astype(jnp.float32)
     do32 = do.astype(jnp.float32)
     s = jnp.einsum("nqd,nkd->nqk", q32, k32) * scale
@@ -311,20 +280,16 @@ def _attn_rope_bwd(scale, bq, bk, interpret, d_half, fast, res, do):
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / jnp.where(l == 0.0, 1.0, l)
+    # zero fully-masked rows (m == NEG_INF -> p would be uniform over the
+    # MASKED tokens); l is never 0 for rows with any valid key
+    p = jnp.where(m > NEG_INF * 0.5, p / jnp.where(l == 0.0, 1.0, l), 0.0)
     dv = jnp.einsum("nqk,nqd->nkd", p, do32)
     dp = jnp.einsum("nqd,nkd->nqk", do32, v32)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
     dq = jnp.einsum("nqk,nkd->nqd", ds, k32) * scale
     dkr = jnp.einsum("nqk,nqd->nkd", ds, q32) * scale
-    # transpose of the forward rotation: dk1 = c*dkr1 + s*dkr2,
-    # dk2 = -s*dkr1 + c*dkr2
-    dkr1 = dkr[..., :d_half]
-    dkr2 = dkr[..., d_half : 2 * d_half]
-    dk = jnp.concatenate([c32 * dkr1 + s32 * dkr2,
-                          -s32 * dkr1 + c32 * dkr2], axis=-1)
-    if dkr.shape[-1] > 2 * d_half:
-        dk = jnp.concatenate([dk, dkr[..., 2 * d_half :]], axis=-1)
+    # transpose of the forward rotation = rotation by -theta
+    dk = apply_rotary_split(dkr, c32, -s32)
     return (
         dq.astype(qf.dtype),
         dk.astype(kf.dtype),
@@ -348,8 +313,7 @@ def _forward_impl_rope_kvproj(scale, bq, bk, interpret, d_half,
     nq = sq_pad // bq
     nk = skv_pad // bk
     return pl.pallas_call(
-        functools.partial(_kernel_rope_kvproj, scale=scale, num_kv_blocks=nk,
-                          d_half=d_half),
+        functools.partial(_kernel_rope_kvproj, scale=scale, num_kv_blocks=nk),
         grid=(N, nq, nk),
         in_specs=[
             pl.BlockSpec((1, bq, d_pad), lambda b, iq, ik: (b, iq, 0)),
@@ -407,26 +371,23 @@ def _attn_rope_kvproj_bwd(scale, bq, bk, interpret, d_half, res, do):
     # not needed for gradient accuracy — fp32 recompute is the standard
     # flash-attention backward tradeoff)
     kp = jnp.einsum("nsm,md->nsd", k64, wk32) + bkb.astype(jnp.float32)[None]
-    krot = _rotate_split32(kp, c32, s32, d_half)
+    krot = apply_rotary_split(kp, c32, s32)
     vp = jnp.einsum("nsm,md->nsd", v64, wv32) + bvb.astype(jnp.float32)[None]
     s = jnp.einsum("nqd,nkd->nqk", q32, krot) * scale
     s = jnp.where(maskf > 0, s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / jnp.where(l == 0.0, 1.0, l)
+    # zero fully-masked rows (m == NEG_INF -> p would be uniform over the
+    # MASKED tokens); l is never 0 for rows with any valid key
+    p = jnp.where(m > NEG_INF * 0.5, p / jnp.where(l == 0.0, 1.0, l), 0.0)
     dvp = jnp.einsum("nqk,nqd->nkd", p, do32)
     dp = jnp.einsum("nqd,nkd->nqk", do32, vp)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
     dq = jnp.einsum("nqk,nkd->nqd", ds, krot) * scale
     dkrot = jnp.einsum("nqk,nqd->nkd", ds, q32) * scale
-    # inverse rotation, then the projection chain rule
-    dkr1 = dkrot[..., :d_half]
-    dkr2 = dkrot[..., d_half : 2 * d_half]
-    dkp = jnp.concatenate([c32 * dkr1 + s32 * dkr2,
-                           -s32 * dkr1 + c32 * dkr2], axis=-1)
-    if dkrot.shape[-1] > 2 * d_half:
-        dkp = jnp.concatenate([dkp, dkrot[..., 2 * d_half :]], axis=-1)
+    # inverse rotation (= rotation by -theta), then the projection chain rule
+    dkp = apply_rotary_split(dkrot, c32, -s32)
     dwk = jnp.einsum("nsm,nsd->md", k64, dkp)
     dbk = jnp.sum(dkp, axis=(0, 1), keepdims=False)[None]
     dkf = jnp.einsum("nsd,md->nsm", dkp, wk32)
@@ -534,7 +495,9 @@ def _attn_bwd(scale, bq, bk, interpret, fast, res, do):
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / jnp.where(l == 0.0, 1.0, l)
+    # zero fully-masked rows (m == NEG_INF -> p would be uniform over the
+    # MASKED tokens); l is never 0 for rows with any valid key
+    p = jnp.where(m > NEG_INF * 0.5, p / jnp.where(l == 0.0, 1.0, l), 0.0)
     dv = jnp.einsum("nqk,nqd->nkd", p, do32)
     dp = jnp.einsum("nqd,nkd->nqk", do32, v32)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))

@@ -19,10 +19,12 @@ least as accurate as the unfused bf16 graph it replaces. The backward pass
 is the standard XLA recompute form via custom_vjp (pallas_call has no
 autodiff rule), matching kernels/flash_attention.py's approach.
 
-Used by models/hiera.py (trunk block MLPs; reference hieradet.py MultiScaleBlock
-mlp) and models/memory_attention.py (FFN; reference sam2/modeling/
-memory_attention.py:60-72). Route gate: SAM2_TPU_FUSED_MLP (default on for
-bf16 inputs).
+Wired into models/hiera.py trunk block MLPs only (reference hieradet.py
+MultiScaleBlock mlp). Route gate: SAM2_TPU_FUSED_MLP=1 — **default OFF**:
+measured 15-55% SLOWER than XLA's unfused bf16 MLP on v5e across the hiera
+block shapes (doc/benchmark.md "fused MLP"), kept as an opt-in for other TPU
+generations. The gate is read at jit-trace time, so flipping the env var
+after a shape has compiled has no effect until the jit cache is cleared.
 """
 
 from __future__ import annotations

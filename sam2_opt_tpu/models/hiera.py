@@ -59,7 +59,9 @@ def _patch_embed_s2d(p, x):
 def _packed_window_max_tokens() -> int:
     """Windows with <= this many tokens route to the packed block-diagonal
     Pallas kernel (kernels/window_attention.py) instead of the einsum path.
-    Env override SAM2_TPU_PACKED_WINDOW=<max tokens|0>."""
+    Env override SAM2_TPU_PACKED_WINDOW=<max tokens|0>. Read at jit-trace
+    time: changing it after a shape has compiled has no effect until the jit
+    cache is cleared (e.g. model.set_runtime_backend(...) or a new process)."""
     import os
 
     v = os.environ.get("SAM2_TPU_PACKED_WINDOW", "")
@@ -74,7 +76,8 @@ def _packed_window_max_tokens() -> int:
 def _split_window_min_tokens() -> int:
     """Smallest window (tokens) routed to the split-qkv einsum path; smaller
     windows keep the interleaved SDPA path. Env override
-    SAM2_TPU_SPLIT_WINDOW_MIN (default 64, the measured v5e crossover)."""
+    SAM2_TPU_SPLIT_WINDOW_MIN (default 64, the measured v5e crossover).
+    Read at jit-trace time — see _packed_window_max_tokens."""
     import os
 
     try:
@@ -182,7 +185,8 @@ def _use_fused_mlp() -> bool:
     fused MLP loses 15-55% to XLA's unfused graph at every hiera stage shape
     (s1 274 vs 177 us, s3 157 vs 137 us) — XLA overlaps the hidden tensor's
     HBM round trip with MXU compute, so the fusion saves no wall-clock, and
-    the in-kernel GELU serializes VPU work between the two matmuls."""
+    the in-kernel GELU serializes VPU work between the two matmuls.
+    Read at jit-trace time — see _packed_window_max_tokens."""
     import os
 
     return os.environ.get("SAM2_TPU_FUSED_MLP", "0") == "1"

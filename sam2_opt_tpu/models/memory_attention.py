@@ -63,7 +63,9 @@ def _use_fused_rope(q_len: int, kv_len: int) -> bool:
     """Route through the rope-fused Pallas kernel (SAM2_TPU_FUSED_ROPE,
     default on) when the flash kernel would be used anyway: K is then
     rotated in-kernel as the kv stream loads, instead of making an extra
-    HBM round trip through an XLA rotary op per layer."""
+    HBM round trip through an XLA rotary op per layer. Read at jit-trace
+    time: flipping the env var after a shape has compiled has no effect
+    until the jit cache is cleared."""
     import os
 
     if os.environ.get("SAM2_TPU_FUSED_ROPE", "1") == "0":
@@ -79,7 +81,8 @@ def _use_fused_kv_proj() -> bool:
     the in-kernel per-block projections serialize against the attention
     matmuls — 4.24 ms (best blocks 2048x512) vs 3.9 ms for the plain
     rope-fused kernel with XLA-side projections. Kept behind the flag for
-    bandwidth-starved TPU generations where the 4x kv-stream saving wins."""
+    bandwidth-starved TPU generations where the 4x kv-stream saving wins.
+    Read at jit-trace time — see _use_fused_rope."""
     import os
 
     return os.environ.get("SAM2_TPU_FUSED_KV_PROJ", "0") == "1"

@@ -142,6 +142,12 @@ class SAM2Model:
             act_scales = collect_activation_scales(
                 self.params, self.cfg, ds.batches(), pattern=pattern
             )
+            if not act_scales:
+                raise RuntimeError(
+                    f"activation calibration over {calib_dir!r} produced no "
+                    f"scales (quant pattern {pattern!r} matched no linears); "
+                    f"refusing to silently fall back to weight-only int8."
+                )
         self.set_runtime_backend("xla", args={"dtype": dtype})
         self._compute_params = quantize_params(
             self._compute_params, pattern, act_scales

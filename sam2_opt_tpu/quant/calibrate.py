@@ -34,6 +34,13 @@ class ImageEncodeCalibratorDataset:
             if os.path.splitext(p)[-1].lower() in (".jpg", ".jpeg", ".png")
         ][:max_images]
         self.paths = [os.path.join(images_path, p) for p in names]
+        if not self.paths:
+            raise ValueError(
+                f"no calibration images (.jpg/.jpeg/.png) found in "
+                f"{images_path!r}: activation-quant int8 needs a directory of "
+                f"images (reference calibrator/image_encode.py:84-107). For "
+                f"weight-only int8 pass activation_quant=False instead."
+            )
         self.batch_size = batch_size
 
     def __len__(self):

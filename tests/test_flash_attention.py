@@ -436,3 +436,53 @@ def test_fast_softmax_bf16_close_to_fp32(monkeypatch):
     )
     err = np.abs(np.asarray(out_fast, np.float32) - np.asarray(ref32)).max()
     assert err < 0.1, err  # bf16 rounding through logits+softmax, not junk
+
+
+def test_flash_fully_masked_rows_output_zero():
+    """A batch row whose kv_mask is entirely False must produce ZEROS (and
+    zero gradients), not the mean of V: with every logit at NEG_INF the
+    online softmax's p = exp(s - m) is 1 at the masked positions, so the
+    l==0 guard alone never fires (regression: the finish gate is on m)."""
+    rng = np.random.default_rng(11)
+    B, H, Sq, Skv, D = 2, 1, 128, 384, 64
+    q = jnp.asarray(rng.standard_normal((B, H, Sq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, Skv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, Skv, D)), jnp.float32)
+    m = np.ones((B, Skv), bool)
+    m[1, :] = False  # row 1: no valid memory at all
+    mask = jnp.asarray(m)
+
+    out = flash_attention(q, k, v, kv_mask=mask, block_q=128, block_k=128,
+                          interpret=True)
+    ref = scaled_dot_product_attention(q[:1], k[:1], v[:1])
+    assert float(jnp.max(jnp.abs(out[:1] - ref))) < 2e-5
+    assert float(jnp.max(jnp.abs(out[1]))) == 0.0
+
+    # gradients through the masked row must be zero as well
+    def loss(q, k, v):
+        o = flash_attention(q, k, v, kv_mask=mask, block_q=128, block_k=128,
+                            interpret=True)
+        return jnp.sum(o[1] ** 2) + jnp.sum(o[0] ** 2) * 0.0
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g in (dq, dk, dv):
+        assert float(jnp.max(jnp.abs(g))) == 0.0
+
+
+def test_flash_rope_fully_masked_rows_output_zero():
+    from sam2_opt_tpu.ops import posenc
+
+    rng = np.random.default_rng(12)
+    B, H, Sq, Skv, D = 2, 1, 128, 256, 64
+    q = jnp.asarray(rng.standard_normal((B, H, Sq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, Skv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, Skv, D)), jnp.float32)
+    cos = jnp.asarray(rng.standard_normal((Skv, D // 2)), jnp.float32)
+    sin = jnp.asarray(rng.standard_normal((Skv, D // 2)), jnp.float32)
+    m = np.ones((B, Skv), bool)
+    m[0, :] = False
+    mask = jnp.asarray(m)
+    out = flash_attention(q, k, v, kv_mask=mask, rope_cos_k=cos,
+                          rope_sin_k=sin, block_q=128, block_k=128,
+                          interpret=True)
+    assert float(jnp.max(jnp.abs(out[0]))) == 0.0
+    assert float(jnp.max(jnp.abs(out[1]))) > 0.0

@@ -133,6 +133,22 @@ def test_speedup_int8_one_liner(tmp_path, tiny128_cfg, tiny128_params):
     assert miou(np.asarray(ref_masks), np.asarray(bq_masks)) >= 0.95
 
 
+def test_speedup_int8_empty_calib_dir_raises(tmp_path, tiny128_cfg,
+                                             tiny128_params):
+    """A calibration dir with no images must raise, not silently degrade to
+    weight-only int8 (the reference's entropy calibrator likewise fails on an
+    empty dataset, calibrator/image_encode.py:84-107)."""
+    import pytest
+
+    from sam2_opt_tpu.models.model import SAM2Model
+    from sam2_opt_tpu.predictors.image import SAM2ImagePredictor
+
+    (tmp_path / "engine.bin").write_bytes(b"\x00")  # non-image content only
+    pred = SAM2ImagePredictor(SAM2Model(tiny128_params, tiny128_cfg))
+    with pytest.raises(ValueError, match="no calibration images"):
+        pred.speedup("int8", model_root_path=str(tmp_path))
+
+
 def test_video_predictor_speedup_int8(tmp_path, tiny128_cfg, tiny128_params):
     """`speedup("int8")` on the VIDEO predictor quantizes the encoder and the
     predictor still tracks (encoder-only int8, tracking stays bf16 — the

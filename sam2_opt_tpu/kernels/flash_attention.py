@@ -530,40 +530,65 @@ def _use_fast_exp(dtype) -> bool:
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "interpret", "fast_exp")
-)
+def _is_batch_traced(x) -> bool:
+    """True when x is being traced by jax.vmap: the visible shape then hides
+    a physical batch dimension, so shape-based block heuristics must assume
+    the batched (VMEM-heavier) case."""
+    try:
+        from jax._src.interpreters.batching import BatchTracer
+    except Exception:  # pragma: no cover - private-API guard
+        try:
+            from jax.interpreters.batching import BatchTracer
+        except Exception:
+            return False
+    return isinstance(x, BatchTracer)
+
+
+def _default_blocks(q, k, rope: bool, block_q, block_k):
+    """Pick (block_q, block_k) defaults. MUST run OUTSIDE any jax.jit
+    wrapper: under jax.vmap the jitted body is re-traced with element-shaped
+    avals, so only a non-jitted caller can see the BatchTracer that marks a
+    physically batched call.
+
+    Defaults autotuned on v5e (tools/tune_flash_blocks.py):
+    - plain path (1024, 1024): streams kv from HBM 4x instead of 16x for
+      the memory-attention shapes -> 5.5 ms vs 7.7 ms for the 4-layer
+      stack pre-fusion;
+    - rope-fused CROSS path (2048, 1024): the kernel carries cos/sin blocks
+      but no separate rotated-K tensor, leaving VMEM headroom for
+      double-width q blocks — 3.86 ms vs 4.07 ms at (1024, 1024) for the
+      4-layer stack. Restricted to long-kv shapes: at Sq == Skv == 4096
+      (the rope SELF-attention) XLA may place an operand in VMEM depending
+      on the surrounding graph, and (2048, 1024) then overflows the 16M
+      scoped limit by ~1M (observed in the full track-step graph).
+    Larger blocks always overflow at d_pad=256, as do these sizes for
+    4-byte (fp32) inputs — those get half-size q blocks.
+    """
+    if block_q is None:
+        if (rope and k.shape[-2] >= 8192
+                and q.shape[0] * q.shape[1] == 1
+                and not _is_batch_traced(q)):
+            # double-width q blocks only for the single-sequence cross shape:
+            # with a leading batch (object-batched tracking, B=8) XLA keeps
+            # batched operands in scoped VMEM around the call and (2048,1024)
+            # overflows the 16M limit (observed: 17.96M at B=8, Skv=29696).
+            # A vmapped call (the trainer's video-batch rollout) is batched
+            # physically even though its traced shape reads B=H=1, hence the
+            # BatchTracer guard.
+            block_q = 2048 if q.dtype.itemsize <= 2 else 512
+        else:
+            block_q = 1024 if q.dtype.itemsize <= 2 else 512
+    if block_k is None:
+        block_k = 1024
+    return block_q, block_k
+
+
 def flash_attention(
     q, k, v, kv_mask=None, rope_cos_k=None, rope_sin_k=None, *,
     block_q: Optional[int] = None,
     block_k: Optional[int] = None, interpret: bool = False,
     fast_exp: Optional[bool] = None,
 ):
-    # Default blocks autotuned on v5e (tools/tune_flash_blocks.py):
-    # - plain path (1024, 1024): streams kv from HBM 4x instead of 16x for
-    #   the memory-attention shapes -> 5.5 ms vs 7.7 ms for the 4-layer
-    #   stack pre-fusion;
-    # - rope-fused CROSS path (2048, 1024): the kernel carries cos/sin blocks
-    #   but no separate rotated-K tensor, leaving VMEM headroom for
-    #   double-width q blocks — 3.86 ms vs 4.07 ms at (1024, 1024) for the
-    #   4-layer stack. Restricted to long-kv shapes: at Sq == Skv == 4096
-    #   (the rope SELF-attention) XLA may place an operand in VMEM depending
-    #   on the surrounding graph, and (2048, 1024) then overflows the 16M
-    #   scoped limit by ~1M (observed in the full track-step graph).
-    # Larger blocks always overflow at d_pad=256, as do these sizes for
-    # 4-byte (fp32) inputs — those get half-size q blocks.
-    if block_q is None:
-        if (rope_cos_k is not None and k.shape[2] >= 8192
-                and q.shape[0] * q.shape[1] == 1):
-            # double-width q blocks only for the single-sequence cross shape:
-            # with a leading batch (object-batched tracking, B=8) XLA keeps
-            # batched operands in scoped VMEM around the call and (2048,1024)
-            # overflows the 16M limit (observed: 17.96M at B=8, Skv=29696)
-            block_q = 2048 if q.dtype.itemsize <= 2 else 512
-        else:
-            block_q = 1024 if q.dtype.itemsize <= 2 else 512
-    if block_k is None:
-        block_k = 1024
     """q [B,H,Sq,D], k/v [B,H,Skv,D], kv_mask optional [B,Skv] bool.
 
     `rope_cos_k`/`rope_sin_k` (optional, [Skv, D//2]): per-pair rotation
@@ -575,6 +600,23 @@ def flash_attention(
 
     Returns [B,H,Sq,D] with torch-SDPA semantics (scale 1/sqrt(D)).
     """
+    block_q, block_k = _default_blocks(
+        q, k, rope_cos_k is not None, block_q, block_k
+    )
+    return _flash_attention_jit(
+        q, k, v, kv_mask, rope_cos_k, rope_sin_k, block_q=block_q,
+        block_k=block_k, interpret=interpret, fast_exp=fast_exp,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret", "fast_exp")
+)
+def _flash_attention_jit(
+    q, k, v, kv_mask=None, rope_cos_k=None, rope_sin_k=None, *,
+    block_q: int, block_k: int, interpret: bool = False,
+    fast_exp: Optional[bool] = None,
+):
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
     scale = 1.0 / math.sqrt(D)

@@ -272,9 +272,14 @@ def hiera_pos_embed(p, h: int, w: int, cfg: HieraConfig):
     return pos
 
 
-def hiera(p, x, cfg: HieraConfig) -> List[jnp.ndarray]:
+def hiera(p, x, cfg: HieraConfig, max_blocks: int | None = None) -> List[jnp.ndarray]:
     """Full trunk: [B, H, W, 3] image -> 4-scale NHWC feature pyramid,
-    highest resolution first (reference hieradet.py:283-299)."""
+    highest resolution first (reference hieradet.py:283-299).
+
+    `max_blocks` truncates the trunk after that many blocks and appends the
+    (unpartitioned) running tensor as the final output — used by the
+    per-stage profiler (tools/bench_hiera_stages.py) so it times exactly the
+    production block routing rather than a reimplementation."""
     if (
         x.dtype == jnp.bfloat16
         and cfg.patch_stride == (4, 4)
@@ -294,6 +299,9 @@ def hiera(p, x, cfg: HieraConfig) -> List[jnp.ndarray]:
     x = x + hiera_pos_embed(p, x.shape[1], x.shape[2], cfg).astype(x.dtype)
 
     plan = cfg.block_plan()
+    truncated = max_blocks is not None and max_blocks < len(plan)
+    if max_blocks is not None:
+        plan = plan[:max_blocks]
     stage_ends = set(cfg.stage_ends)
     outputs = []
     # Window-run layout persistence: between consecutive windowed blocks with
@@ -330,6 +338,11 @@ def hiera(p, x, cfg: HieraConfig) -> List[jnp.ndarray]:
             if cur_ws != 0:
                 x = ops.window_unpartition(x, cur_ws, flat_hw, flat_hw)
                 cur_ws = 0
+            outputs.append(x)
+    if truncated:
+        if cur_ws != 0:
+            x = ops.window_unpartition(x, cur_ws, flat_hw, flat_hw)
+        if not plan or (len(plan) - 1) not in stage_ends:
             outputs.append(x)
     return outputs
 

@@ -115,6 +115,20 @@ class SAM2Model:
                 dtype=dtype,
             )
             return
+        if model_root_path is not None or calib_dir is not None:
+            # Reference call sites pass model_root_path to select pre-built
+            # (possibly int8) TRT engines; here compiled executables come from
+            # the XLA compile cache and quantization is an explicit backend.
+            # Warn instead of silently ignoring so a ported
+            # speedup("trt", model_root_path=...) isn't mistaken for int8.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "speedup(%r): model_root_path/calib_dir ignored on the %s "
+                "path (engines are replaced by the XLA compile cache). For "
+                "int8 use speedup('int8', calib_dir=...).",
+                backend, backend,
+            )
         self.set_runtime_backend(
             backend="xla" if backend not in ("torch", "eager") else backend,
             args={"dtype": dtype},

@@ -439,13 +439,15 @@ class VideoAugmentations:
 
         if self.affine_prob > 0 and rng.random() < self.affine_prob:
             # zero-area retry: redraw params while the transform wipes out
-            # every first-frame mask, then skip (reference RandomAffine
-            # tentatives, transforms.py:344-358)
+            # ANY object's first-frame mask (per object, so a surviving
+            # neighbor can't mask a wiped target), then skip (reference
+            # RandomAffine tentatives, transforms.py:344-358)
+            present = masks[0].any(axis=(-2, -1))  # [N] objects with frame-0 area
             for _ in range(max(self.affine_tentatives, 1)):
                 angle = rng.uniform(-self.degrees, self.degrees)
                 shear_x = rng.uniform(-self.shear, self.shear)
                 a_imgs, a_masks = self._affine(images, masks, angle, shear_x)
-                if (not masks[0].any()) or a_masks[0].any():
+                if bool(np.all(a_masks[0].any(axis=(-2, -1)) >= present)):
                     images, masks = a_imgs, a_masks
                     break
 

@@ -34,7 +34,14 @@ ZONE="$1"; shift
 REPO_DIR="${SAM2_TPU_REPO_DIR:-/opt/sam2_opt_tpu}"
 PYTHON="${SAM2_TPU_PYTHON:-python3}"
 
+# printf %q re-quotes each trainer arg for the remote shell ($* would let the
+# remote side word-split args containing spaces or metacharacters)
+TRAIN_ARGS=""
+for arg in "$@"; do
+    TRAIN_ARGS+=$(printf ' %q' "$arg")
+done
+
 exec gcloud compute tpus tpu-vm ssh "$TPU_NAME" \
     --zone="$ZONE" \
     --worker=all \
-    --command="cd '$REPO_DIR' && $PYTHON -m sam2_opt_tpu.training.train $*"
+    --command="cd '$REPO_DIR' && $PYTHON -m sam2_opt_tpu.training.train$TRAIN_ARGS"

@@ -486,3 +486,48 @@ def test_flash_rope_fully_masked_rows_output_zero():
                           interpret=True)
     assert float(jnp.max(jnp.abs(out[0]))) == 0.0
     assert float(jnp.max(jnp.abs(out[1]))) > 0.0
+
+
+def test_wide_block_gate_sees_vmap():
+    """The (2048, 1024) rope-block fast path must not engage under jax.vmap:
+    the traced shape reads B=H=1 but the physical pallas operands carry the
+    vmap batch, recreating the B=8 scoped-VMEM overflow the gate exists to
+    prevent. _default_blocks runs outside the jit wrapper precisely so it can
+    see the BatchTracer."""
+    from sam2_opt_tpu.kernels.flash_attention import (
+        _default_blocks,
+        _is_batch_traced,
+    )
+
+    q = jnp.zeros((1, 1, 4096, 256), jnp.bfloat16)
+    k = jnp.zeros((1, 1, 8192, 256), jnp.bfloat16)
+
+    # concrete (non-vmapped) single-sequence cross shape: wide blocks
+    bq, bk = _default_blocks(q, k, True, None, None)
+    assert (bq, bk) == (2048, 1024)
+
+    seen = {}
+
+    def f(qi, ki):
+        seen["batched"] = _is_batch_traced(qi)
+        seen["blocks"] = _default_blocks(qi, ki, True, None, None)
+        return qi
+
+    jax.vmap(f)(q[None], k[None])  # element shape == the wide-path shape
+    assert seen["batched"] is True
+    assert seen["blocks"] == (1024, 1024)
+
+    # plain jit tracing (no vmap) must still allow the wide path
+    def g(qi, ki):
+        seen["jit_batched"] = _is_batch_traced(qi)
+        seen["jit_blocks"] = _default_blocks(qi, ki, True, None, None)
+        return qi
+
+    jax.jit(g)(q, k)
+    assert seen["jit_batched"] is False
+    assert seen["jit_blocks"] == (2048, 1024)
+
+    # leading batch on the concrete shape: conservative blocks
+    bq8, _ = _default_blocks(jnp.zeros((8, 1, 4096, 256), jnp.bfloat16), k,
+                             True, None, None)
+    assert bq8 == 1024

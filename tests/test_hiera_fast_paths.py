@@ -144,3 +144,33 @@ def test_fused_mlp_route_matches_default(monkeypatch):
     fused = np.asarray(hiera._block_mlp(p, x), np.float32)
     err = np.abs(fused - base).max() / (np.abs(base).max() + 1e-9)
     assert err < 0.05, err
+
+
+def test_hiera_max_blocks_prefix_matches_full():
+    """hiera(max_blocks=n) (the per-stage profiler's entry) must compute the
+    same prefix the full trunk computes: truncating at a stage end equals
+    that stage's pyramid output, and a mid-stage truncation returns a tensor
+    of the stage's spatial shape."""
+    from sam2_opt_tpu.config import model_config
+    from sam2_opt_tpu.models.init import init_params
+
+    cfg = model_config("hiera_t")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tp = params["image_encoder"]["trunk"]
+    hcfg = cfg.trunk
+    x = jnp.asarray(
+        np.random.default_rng(0).random((1, 128, 128, 3)), jnp.float32
+    )
+
+    full = hiera.hiera(tp, x, hcfg)
+    end0 = hcfg.stage_ends[0]
+    pre = hiera.hiera(tp, x, hcfg, max_blocks=end0 + 1)
+    assert len(pre) == 1
+    np.testing.assert_allclose(
+        np.asarray(pre[-1], np.float32), np.asarray(full[0], np.float32),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    mid = hiera.hiera(tp, x, hcfg, max_blocks=end0 + 2)  # 1 block into stage 2
+    assert mid[-1].shape[-1] == full[1].shape[-1]  # stage-2 channel width
+    assert hiera.hiera(tp, x, hcfg, max_blocks=0)[-1].shape[1] == x.shape[1] // 4

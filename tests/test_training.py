@@ -415,6 +415,31 @@ def test_affine_zero_area_retry():
         assert out_masks[0].any(), f"seed {seed}: first-frame mask wiped out"
 
 
+def test_affine_retry_is_per_object():
+    """The zero-area retry must protect EVERY object's first-frame mask, not
+    just some object: a big centered object surviving may not mask the loss
+    of a corner-sliver neighbor (reference RandomAffine retries when ANY
+    object's frame-0 mask empties, transforms.py:344-358)."""
+    from sam2_opt_tpu.training.data import VideoAugmentations
+
+    rng_np = np.random.default_rng(6)
+    images = (rng_np.random((2, 64, 64, 3)) * 255).astype(np.uint8)
+    masks = np.zeros((2, 2, 64, 64), bool)
+    masks[:, 0, 24:40, 24:40] = True   # robust centered object
+    masks[:, 1, 0:2, 62:64] = True     # corner sliver: rotations often lose it
+
+    aug = VideoAugmentations(
+        hflip_prob=0.0, color_jitter_prob=0.0, grayscale_prob=0.0,
+        affine_prob=1.0, degrees=45.0, shear=30.0,
+    )
+    for seed in range(12):
+        _, out_masks = aug(images, masks, random.Random(seed))
+        for j in range(2):
+            assert out_masks[0, j].any(), (
+                f"seed {seed}: object {j} first-frame mask wiped out"
+            )
+
+
 def test_vos_dataset_multiplier(tmp_path):
     img_root, gt_root = _make_davis_dataset(tmp_path)
     raw = PNGRawDataset(img_root, gt_root)

@@ -1,5 +1,8 @@
-"""Per-stage hiera-L encode timing on TPU: patch embed, each trunk stage, FPN.
-Times hiera truncated after block i (in-graph loops, differenced)."""
+"""Per-stage hiera-L encode timing on TPU: patch embed, each trunk stage.
+Times the PRODUCTION trunk truncated after block i (models/hiera.py
+`hiera(..., max_blocks=...)` — same block routing, window-run persistence,
+and patch-embed fast path as real encodes) with in-graph loops, differenced.
+"""
 import sys, time
 sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
@@ -8,7 +11,6 @@ from sam2_opt_tpu.config import model_config
 from sam2_opt_tpu.models import hiera as hi
 from sam2_opt_tpu.models.init import init_params
 from sam2_opt_tpu.models.model import _cast_tree
-from sam2_opt_tpu.ops import common as ops
 from sam2_opt_tpu.core.executor import enable_persistent_cache
 
 enable_persistent_cache()
@@ -18,37 +20,7 @@ tp = params["image_encoder"]["trunk"]
 rng = np.random.default_rng(0)
 x0 = jnp.asarray(rng.random((1, 1024, 1024, 3)), jnp.bfloat16)
 hcfg = cfg.trunk  # HieraConfig
-plan = hcfg.block_plan()
-print("stage_ends", hcfg.stage_ends, "n_blocks", len(plan))
-
-
-def trunk_prefix(p, x, n_blocks):
-    x = ops.conv2d(p["patch_embed"]["proj"], x, stride=hcfg.patch_stride,
-                   padding=[(hcfg.patch_padding[0],) * 2, (hcfg.patch_padding[1],) * 2])
-    x = x + hi.hiera_pos_embed(p, x.shape[1], x.shape[2], hcfg).astype(x.dtype)
-    cur_ws, flat_hw = 0, None
-    stage_ends = set(hcfg.stage_ends)
-    for i, spec in enumerate(plan[:n_blocks]):
-        ws = spec["window_size"]
-        runnable = (ws > 0 and not spec["q_pool"] and spec["dim"] == spec["dim_out"]
-                    and (x.shape[1] % ws == 0 and x.shape[2] % ws == 0
-                         if cur_ws == 0 else cur_ws == ws))
-        want_ws = ws if runnable else 0
-        if cur_ws != want_ws:
-            if cur_ws != 0:
-                x = ops.window_unpartition(x, cur_ws, flat_hw, flat_hw)
-            if want_ws != 0:
-                flat_hw = (x.shape[1], x.shape[2])
-                x, _ = ops.window_partition(x, want_ws)
-            cur_ws = want_ws
-        x = hi.multiscale_block(p["blocks"][i], x, spec, hcfg.q_stride,
-                                hcfg.mlp_ratio, windowed=cur_ws != 0)
-        if i in stage_ends and cur_ws != 0:
-            x = ops.window_unpartition(x, cur_ws, flat_hw, flat_hw)
-            cur_ws = 0
-    if cur_ws != 0:
-        x = ops.window_unpartition(x, cur_ws, flat_hw, flat_hw)
-    return x
+print("stage_ends", hcfg.stage_ends, "n_blocks", len(hcfg.block_plan()))
 
 
 def make_timer(n_blocks):
@@ -56,7 +28,7 @@ def make_timer(n_blocks):
     def f(p, x, k):
         def body(i, acc):
             y = x + (acc * 1e-6).astype(x.dtype)
-            out = trunk_prefix(p, y, n_blocks)
+            out = hi.hiera(p, y, hcfg, max_blocks=n_blocks)[-1]
             return jnp.mean(out.astype(jnp.float32))
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
     return f

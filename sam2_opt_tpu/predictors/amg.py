@@ -71,6 +71,16 @@ class SAM2AutomaticMaskGenerator:
         self.use_m2m = use_m2m
         self.multimask_output = multimask_output
 
+    @classmethod
+    def from_pretrained(cls, model_id: str, **kwargs) -> "SAM2AutomaticMaskGenerator":
+        """HuggingFace-hub loader (reference automatic_mask_generator.py:152-171).
+        Constructor kwargs pass through; model-build kwargs are consumed by
+        build_sam2_hf."""
+        from sam2_opt_tpu.build_sam import build_sam2_hf
+
+        model = build_sam2_hf(model_id)
+        return cls(model, **kwargs)
+
     # ------------------------------------------------------------------ #
     # public API
     # ------------------------------------------------------------------ #

@@ -83,3 +83,25 @@ def test_amg_smoke_small(tiny128_cfg, tiny128_params):
     for ann in anns:
         assert ann["segmentation"].shape == (96, 128)
         assert {"area", "bbox", "predicted_iou", "stability_score"} <= set(ann)
+
+
+def test_amg_from_pretrained(monkeypatch, tiny128_cfg, tiny128_params):
+    """from_pretrained mirrors the reference classmethod
+    (automatic_mask_generator.py:152-171): builds the model via the HF hub
+    loader and passes constructor kwargs through."""
+    from sam2_opt_tpu.predictors.amg import SAM2AutomaticMaskGenerator
+    from sam2_opt_tpu.models.model import SAM2Model
+    import sam2_opt_tpu.build_sam as bs
+
+    seen = {}
+
+    def fake_hf(model_id, **kwargs):
+        seen["model_id"] = model_id
+        return SAM2Model(tiny128_params, tiny128_cfg)
+
+    monkeypatch.setattr(bs, "build_sam2_hf", fake_hf)
+    amg = SAM2AutomaticMaskGenerator.from_pretrained(
+        "facebook/sam2.1-hiera-tiny", points_per_side=4, points_per_batch=8
+    )
+    assert seen["model_id"] == "facebook/sam2.1-hiera-tiny"
+    assert amg.points_per_batch == 8 and len(amg.point_grids[0]) == 16

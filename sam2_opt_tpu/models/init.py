@@ -228,8 +228,16 @@ def init_params(cfg: SAM2Config, key) -> Dict:
         "memory_encoder": memory_encoder,
         "sam_prompt_encoder": prompt_encoder,
         "sam_mask_decoder": mask_decoder,
-        "obj_ptr_proj": ini.mlp([C, C, C, C]),
-        "obj_ptr_tpos_proj": ini.linear(C, cfg.mem_dim),
+        # projection variants per config flags (reference :317-325, :148-153):
+        # SAM 2.1 uses MLP + Linear; 2.0-style configs use Linear / Identity
+        "obj_ptr_proj": (
+            ini.mlp([C, C, C, C]) if cfg.use_mlp_for_obj_ptr_proj
+            else ini.linear(C, C) if cfg.use_obj_ptrs_in_encoder
+            else {}
+        ),
+        "obj_ptr_tpos_proj": (
+            ini.linear(C, cfg.mem_dim) if cfg.proj_tpos_enc_in_obj_ptrs else {}
+        ),
         "mask_downsample": ini.conv(4, 4, 1, 1),
         "maskmem_tpos_enc": ini.token((cfg.num_maskmem, 1, 1, cfg.mem_dim)),
         "no_mem_embed": ini.token((1, 1, C)),

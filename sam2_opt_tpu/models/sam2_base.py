@@ -135,7 +135,14 @@ def forward_sam_heads(
     else:
         low_res_masks, high_res_masks = low_res_multimasks, high_res_multimasks
 
-    obj_ptr = ops.mlp(p["obj_ptr_proj"], sam_output_token, 3)
+    # obj_ptr_proj: MLP for SAM 2.1, plain Linear for use_mlp=False, Identity
+    # when pointers are unused (reference :317-325)
+    if not cfg.use_obj_ptrs_in_encoder:
+        obj_ptr = sam_output_token
+    elif cfg.use_mlp_for_obj_ptr_proj:
+        obj_ptr = ops.mlp(p["obj_ptr_proj"], sam_output_token, 3)
+    else:
+        obj_ptr = ops.linear(p["obj_ptr_proj"], sam_output_token)
     if cfg.pred_obj_scores:
         lambda_is_obj = (
             jax.nn.sigmoid(object_score_logits)

@@ -77,10 +77,19 @@ def _memory_tokens(p, cfg: SAM2Config, mem: MemoryInput, dtype):
     tpos = p["maskmem_tpos_enc"][mem.tpos_idx][:, :, :, 0]  # [B, S, 1, D]
     spatial_pos = (mem_pe + tpos.astype(dtype)).reshape(B, S * L, D)
 
-    # object pointers -> mem_dim-sized tokens
+    # object pointers -> mem_dim-sized tokens; temporal PE per the config
+    # flags (reference :928-936: sine(dim=C) + proj for SAM 2.1; sine(dim=D)
+    # + identity when proj_tpos_enc_in_obj_ptrs=False; zeros when
+    # add_tpos_enc_to_obj_ptrs=False)
     ptrs = jnp.stack([jnp.asarray(x, jnp.float32) for x in ptrs_in], axis=1)
-    ptr_pe = posenc.get_1d_sine_pe(mem.ptr_pos, dim=C)  # [B, P, C]
-    ptr_pe = ops.linear(p["obj_ptr_tpos_proj"], ptr_pe.astype(dtype))  # [B, P, D]
+    P = ptrs.shape[1]
+    if not cfg.add_tpos_enc_to_obj_ptrs:
+        ptr_pe = jnp.zeros((B, P, D), dtype)
+    elif cfg.proj_tpos_enc_in_obj_ptrs:
+        ptr_pe = posenc.get_1d_sine_pe(mem.ptr_pos, dim=C)  # [B, P, C]
+        ptr_pe = ops.linear(p["obj_ptr_tpos_proj"], ptr_pe.astype(dtype))  # [B, P, D]
+    else:
+        ptr_pe = posenc.get_1d_sine_pe(mem.ptr_pos, dim=D).astype(dtype)
     ptr_tokens = ptrs.astype(dtype).reshape(B, -1, tokens_per_ptr, D).reshape(B, -1, D)
     ptr_pos_tokens = jnp.repeat(ptr_pe, tokens_per_ptr, axis=1)  # [B, P*t, D]
 
@@ -189,13 +198,18 @@ def track_step_conditioned(
     run_mem_encoder: bool = True,
     fill_hole_area: int = 0,
     keep_multimasks: bool = False,
+    mask_inputs=None,
 ):
     """Tracked-frame step: memory attention + SAM heads + memory encoder
-    (reference track_step :1114-1179, non-init branch)."""
+    (reference track_step :1114-1179, non-init branch). `mask_inputs` only
+    reaches here when use_mask_input_as_output_without_sam=False (otherwise
+    the predictor routes mask prompts to the memoryless graph, matching the
+    reference's _use_mask_as_output branch)."""
     hrf0, hrf1, embed = feats
     pix_feat = condition_on_memory(p, cfg, embed, mem)
     return _track_with_features(
-        p, cfg, (hrf0, hrf1, pix_feat), embed, point_coords, point_labels, None,
+        p, cfg, (hrf0, hrf1, pix_feat), embed, point_coords, point_labels,
+        mask_inputs,
         prev_sam_mask_logits, multimask_output, run_mem_encoder, fill_hole_area,
         is_mask_from_pts=point_coords is not None,
         keep_multimasks=keep_multimasks,
@@ -209,8 +223,12 @@ def _track_with_features(
 ):
     hrf0, hrf1, pix_feat = feats
     if mask_inputs is not None and cfg.use_mask_input_as_output_without_sam:
+        # GT-mask passthrough. The reference runs the obj-ptr SAM-heads call
+        # on the RAW backbone features — no no_mem_embed, no memory
+        # conditioning — on init AND tracked frames alike
+        # (sam2_base_official.py:1051-1058).
         sam_outputs = base.use_mask_as_output(
-            p, cfg, pix_feat, (hrf0, hrf1), mask_inputs
+            p, cfg, raw_embed, (hrf0, hrf1), mask_inputs
         )
     else:
         if point_coords is None:
@@ -222,6 +240,15 @@ def _track_with_features(
             mask_prompt = jnp.transpose(prev_sam_mask_logits, (0, 2, 3, 1)).astype(
                 pix_feat.dtype
             )
+        elif mask_inputs is not None:
+            # use_mask_input_as_output_without_sam=False: the mask is a dense
+            # SAM prompt, antialias-downsized to the prompt grid (reference
+            # _forward_sam_heads :402-416)
+            prompt_hw = (pix_feat.shape[1] * 4, pix_feat.shape[2] * 4)
+            m = mask_inputs.astype(jnp.float32)
+            if m.shape[-2:] != prompt_hw:
+                m = base.resize_hw(m, prompt_hw, "bilinear", antialias=True)
+            mask_prompt = jnp.transpose(m, (0, 2, 3, 1)).astype(pix_feat.dtype)
         sam_outputs = base.forward_sam_heads(
             p, cfg, pix_feat, point_coords, point_labels,
             mask_inputs=mask_prompt, high_res_features=(hrf0, hrf1),

@@ -287,10 +287,13 @@ class SAM2VideoPredictorDAM4SAM(SAM2VideoPredictor):
         else:
             t_diff_max = 1
 
+        # no TOTAL pointer cap in the reference (DRM pointers + up to
+        # max_obj_ptrs-1 RAM pointers, sam2_base_dam4sam.py:713-745): grow the
+        # padded capacity in buckets of 8 instead of truncating
+        if len(ptrs_list) > ptr_cap:
+            ptr_cap = -(-len(ptrs_list) // 8) * 8
         ptr_pos = np.zeros((ptr_cap,), np.float32)
         ptr_valid = np.zeros((ptr_cap,), bool)
-        ptrs_list = ptrs_list[:ptr_cap]
-        pos_list = pos_list[:ptr_cap]
         zero_ptr = self._zero_ptr_slot(C)
         ptrs = tuple(
             ptrs_list[i] if i < len(ptrs_list) else zero_ptr

@@ -687,10 +687,15 @@ class SAM2VideoPredictor:
         else:
             t_diff_max = 1
 
+        # The reference has no TOTAL pointer cap: cond-frame pointers plus up
+        # to (max_obj_ptrs - 1) non-cond pointers can exceed
+        # max_obj_ptrs_in_encoder when there are >=2 past cond frames
+        # (sam2_base_official.py:886-948). Grow the padded capacity (in
+        # buckets of 8 to bound recompiles) instead of silently truncating.
+        if len(ptrs_list) > ptr_cap:
+            ptr_cap = -(-len(ptrs_list) // 8) * 8
         ptr_pos = np.zeros((ptr_cap,), np.float32)
         ptr_valid = np.zeros((ptr_cap,), bool)
-        ptrs_list = ptrs_list[:ptr_cap]
-        pos_list = pos_list[:ptr_cap]
         zero_ptr = self._zero_ptr_slot(C)
         ptrs = tuple(
             ptrs_list[i] if i < len(ptrs_list) else zero_ptr
@@ -762,7 +767,7 @@ class SAM2VideoPredictor:
                     keep_multimasks=keep_mm and static["multimask"],
                 )
         elif kind == "cond":
-            def fn(p, feats, mem, coords, labels, prev_logits):
+            def fn(p, feats, mem, coords, labels, mask_inputs, prev_logits):
                 B = mem.tpos_idx.shape[0]
                 f0, f1, f2 = feats
                 if B > 1 and f2.shape[0] == 1:
@@ -778,6 +783,7 @@ class SAM2VideoPredictor:
                     run_mem_encoder=static["run_mem_encoder"],
                     fill_hole_area=static["fill_hole_area"],
                     keep_multimasks=keep_mm and static["multimask"],
+                    mask_inputs=mask_inputs,
                 )
         elif kind == "memenc":
             def fn(p, embed, high_res_masks, obj_score):
@@ -819,25 +825,48 @@ class SAM2VideoPredictor:
                     prev_sam_mask_logits, batch_size,
                 )
             except Exception as e:  # pragma: no cover - backend flake path
-                # Only relay-backend flake signatures are retried.
-                # INVALID_ARGUMENT / FAILED_PRECONDITION alone are XLA's
-                # programming-error codes and re-raise immediately (a real
-                # shape/dtype bug must not turn into 20s of sleeps).
-                msg = str(e)
-                transient = (
-                    "TPU backend error" in msg
-                    or "UNAVAILABLE" in msg
-                    or "Socket closed" in msg
-                    or "Connection reset" in msg
-                    or "DEADLINE_EXCEEDED" in msg
-                )
-                if not transient:
+                if not self._is_transient_backend_error(e):
                     raise
                 last_err = e
-                import time
+                if _attempt < 3:
+                    import time
 
-                time.sleep(2.0 * (_attempt + 1))
+                    time.sleep(2.0 * (_attempt + 1))
         raise last_err
+
+    @staticmethod
+    def _is_transient_backend_error(e: Exception) -> bool:
+        """Relay-backend flake signatures that are safe to retry (the
+        computation is deterministic, so a re-dispatch is safe).
+        INVALID_ARGUMENT / FAILED_PRECONDITION alone are XLA's
+        programming-error codes and must re-raise immediately (a real
+        shape/dtype bug must not turn into 20s of sleeps)."""
+        msg = str(e)
+        return (
+            "TPU backend error" in msg
+            or "UNAVAILABLE" in msg
+            or "Socket closed" in msg
+            or "Connection reset" in msg
+            or "DEADLINE_EXCEEDED" in msg
+        )
+
+    def _fill_holes(self, pred_masks):
+        """Shared jit-cached hole-filling call. Kept OUTSIDE the track-step
+        graph: fusing the connected-components scatter into a big jit graph
+        wedges D2H transfers on the relay backend (see verify skill notes)."""
+        fill = self.fill_hole_area
+        if fill <= 0:
+            return pred_masks
+        key = ("fill_holes", pred_masks.shape, fill)
+        ffn = self.model._jit_fns.get(key)
+        if ffn is None:
+            from sam2_opt_tpu.ops.connected_components import (
+                fill_holes_in_mask_scores,
+            )
+
+            ffn = jax.jit(lambda m: fill_holes_in_mask_scores(m, fill))
+            self.model._jit_fns[key] = ffn
+        return ffn(pred_masks)
 
     def _run_single_frame_inference_once(
         self,
@@ -863,7 +892,14 @@ class SAM2VideoPredictor:
             coords = jnp.asarray(point_inputs["point_coords"], jnp.float32)
             labels = jnp.asarray(point_inputs["point_labels"], jnp.int32)
 
-        if is_init_cond_frame or self.cfg.num_maskmem == 0:
+        # A GT-mask prompt bypasses memory conditioning entirely — on init AND
+        # tracked frames — exactly like the reference's _use_mask_as_output
+        # branch (sam2_base_official.py:1051-1058); the memoryless "init"
+        # graph implements that path.
+        mask_direct = (
+            mask_inputs is not None and self.cfg.use_mask_input_as_output_without_sam
+        )
+        if is_init_cond_frame or self.cfg.num_maskmem == 0 or mask_direct:
             fn = self._track_jit(
                 "init", multimask=multimask, run_mem_encoder=run_mem_encoder,
                 fill_hole_area=fill,
@@ -878,23 +914,14 @@ class SAM2VideoPredictor:
                 "cond", multimask=multimask, run_mem_encoder=run_mem_encoder,
                 fill_hole_area=fill,
                 has_pts=coords is not None and coords.shape[1],
+                has_mask=mask_inputs is not None,
                 has_prev=prev_sam_mask_logits is not None,
                 mem_cap=len(mem.feats),
             )
-            out = fn(p, feats, mem, coords, labels, prev_sam_mask_logits)
+            out = fn(p, feats, mem, coords, labels, mask_inputs,
+                     prev_sam_mask_logits)
 
-        pred_masks = out["pred_masks"]
-        if fill > 0:
-            key = ("fill_holes", pred_masks.shape, fill)
-            ffn = self.model._jit_fns.get(key)
-            if ffn is None:
-                from sam2_opt_tpu.ops.connected_components import (
-                    fill_holes_in_mask_scores,
-                )
-
-                ffn = jax.jit(lambda m: fill_holes_in_mask_scores(m, fill))
-                self.model._jit_fns[key] = ffn
-            pred_masks = ffn(pred_masks)
+        pred_masks = self._fill_holes(out["pred_masks"])
 
         compact = self._compact_output(out, pred_masks)
         if self._should_sync():
@@ -925,6 +952,10 @@ class SAM2VideoPredictor:
         """Track several objects in one compiled call (shared frame features,
         batched memory). Returns a list of compact outputs per object, or
         None when batching is not applicable (mixed memory capacities)."""
+        if self.cfg.num_maskmem == 0:
+            # memoryless mode tracks through the "init" graph; the batched
+            # path assumes encoded memories exist for every stored output
+            return None
         feats = self._get_image_feature(inference_state, frame_idx)
         mems = [
             self._gather_memory(
@@ -935,43 +966,33 @@ class SAM2VideoPredictor:
             )
             for i in obj_idxs
         ]
-        if len({len(m.feats) for m in mems}) != 1:
+        if len({(len(m.feats), len(m.ptrs)) for m in mems}) != 1:
             return None
         mem = self._stack_memory(mems)
         multimask = self._use_multimask(False, None)
         fill = self.fill_hole_area
         fn = self._track_jit(
             "cond", multimask=multimask, run_mem_encoder=True,
-            fill_hole_area=fill, has_pts=0, has_prev=False,
+            fill_hole_area=fill, has_pts=0, has_mask=False, has_prev=False,
             mem_cap=len(mem.feats), batched=len(obj_idxs),
         )
         last_err = None
         for _attempt in range(3):
             try:
-                out = fn(self.model._p, feats, mem, None, None, None)
+                out = fn(self.model._p, feats, mem, None, None, None, None)
                 break
             except Exception as e:  # pragma: no cover - backend flake path
-                if "TPU backend error" not in str(e):
+                if not self._is_transient_backend_error(e):
                     raise
                 last_err = e
-                import time
+                if _attempt < 2:
+                    import time
 
-                time.sleep(1.0)
+                    time.sleep(1.0)
         else:
             raise last_err
 
-        pred_masks = out["pred_masks"]
-        if fill > 0:
-            key = ("fill_holes", pred_masks.shape, fill)
-            ffn = self.model._jit_fns.get(key)
-            if ffn is None:
-                from sam2_opt_tpu.ops.connected_components import (
-                    fill_holes_in_mask_scores,
-                )
-
-                ffn = jax.jit(lambda m: fill_holes_in_mask_scores(m, fill))
-                self.model._jit_fns[key] = ffn
-            pred_masks = ffn(pred_masks)
+        pred_masks = self._fill_holes(out["pred_masks"])
 
         if self._should_sync():
             jax.block_until_ready(

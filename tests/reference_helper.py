@@ -282,8 +282,7 @@ def build_torch_sam2(variant: str = "hiera_t", seed: int = 0, cls=None,
     )
 
     model_cls = cls if cls is not None else SAM2Base
-    model = model_cls(
-        **(extra_kwargs or {}),
+    kwargs = dict(
         image_encoder=image_encoder,
         memory_attention=memory_attention,
         memory_encoder=memory_encoder,
@@ -318,6 +317,9 @@ def build_torch_sam2(variant: str = "hiera_t", seed: int = 0, cls=None,
         ),
         compile_image_encoder=False,
     )
+    # caller overrides (e.g. 2.0-style pointer flags) replace the defaults
+    kwargs.update(extra_kwargs or {})
+    model = model_cls(**kwargs)
     model.eval()
     return model
 

@@ -98,3 +98,44 @@ def test_params_native_roundtrip(tmp_path, tiny128_params):
         np.asarray(params["image_encoder"]["trunk"]["blocks"][0]["norm1"]["weight"]),
         np.asarray(restored["image_encoder"]["trunk"]["blocks"][0]["norm1"]["weight"]),
     )
+
+
+def test_obj_ptr_capacity_grows_beyond_max(tiny128_cfg, tiny128_params):
+    """With >=2 past cond frames the reference attends to cond pointers PLUS
+    up to (max_obj_ptrs-1) non-cond pointers — more than
+    max_obj_ptrs_in_encoder total (sam2_base_official.py:886-948). The padded
+    pointer capacity must grow (in buckets of 8), not silently truncate."""
+    import jax.numpy as jnp
+
+    from sam2_opt_tpu.models.model import SAM2Model
+    from sam2_opt_tpu.predictors.video import SAM2VideoPredictor
+
+    vp = SAM2VideoPredictor(SAM2Model(tiny128_params, tiny128_cfg))
+    cfg = vp.cfg
+    g = cfg.image_embedding_size
+
+    def out(i):
+        return {
+            "maskmem_features": jnp.zeros((1, g, g, cfg.mem_dim), jnp.bfloat16),
+            "obj_ptr": jnp.full((1, cfg.hidden_dim), float(i), jnp.float32),
+            "pred_masks": None,
+            "object_score_logits": jnp.zeros((1, 1), jnp.float32),
+        }
+
+    od = {
+        "cond_frame_outputs": {0: out(0), 2: out(2), 4: out(4)},
+        "non_cond_frame_outputs": {t: out(t) for t in range(5, 30)},
+    }
+    mem = vp._gather_memory({"num_frames": 40}, od, 30, reverse=False)
+    # 3 cond pointers + (16 - 1) non-cond pointers, none dropped
+    assert int(np.asarray(mem.ptr_valid).sum()) == 18
+    assert len(mem.ptrs) == 24  # next bucket of 8 above 18
+
+    # a single cond frame stays at the default capacity
+    od1 = {
+        "cond_frame_outputs": {0: out(0)},
+        "non_cond_frame_outputs": {t: out(t) for t in range(5, 30)},
+    }
+    mem1 = vp._gather_memory({"num_frames": 40}, od1, 30, reverse=False)
+    assert len(mem1.ptrs) == tiny128_cfg.max_obj_ptrs_in_encoder
+    assert int(np.asarray(mem1.ptr_valid).sum()) == 16

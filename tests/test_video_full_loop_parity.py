@@ -179,3 +179,160 @@ def test_full_loop_parity(predictors, video_dir):
     assert miou_rev >= 0.96, f"reverse mIoU {miou_rev:.4f}"
 
     assert list(ids_after_t) == list(ids_after_j) == [1]
+
+
+def test_mask_correction_on_tracked_frame_parity(predictors, video_dir):
+    """add_new_mask on an ALREADY-TRACKED frame must reach the model: the
+    reference routes any mask prompt to _use_mask_as_output regardless of
+    frame kind (sam2_base_official.py:1051-1058), returning the +-10-logit
+    passthrough and steering subsequent tracking through the corrected
+    memory. (A dropped mask prompt would instead return a re-prediction from
+    memory and fail the passthrough IoU gate.)"""
+    import torch
+
+    torch_vp, ours = predictors
+    points = np.array([[54, 74]], np.float32)
+    labels = np.array([1], np.int32)
+    # exact square of the tracked object at frame 5
+    corr = np.zeros((VH, VW), bool)
+    x0, y0 = 30 + 8 * 5, 50
+    corr[y0 : y0 + 48, x0 : x0 + 48] = True
+
+    with torch.no_grad():
+        st_t = torch_vp.init_state(video_dir)
+        torch_vp.add_new_points_or_box(st_t, 0, 1, points=points, labels=labels)
+        for _f, _ids, _m in torch_vp.propagate_in_video(
+            st_t, max_frame_num_to_track=6
+        ):
+            _float_all_maskmem(st_t)
+        _, _, mt = torch_vp.add_new_mask(st_t, 5, 1, torch.from_numpy(corr))
+        mt = mt.numpy()
+        _float_all_maskmem(st_t)
+        fwd_t = {}
+        for f, _ids, m in torch_vp.propagate_in_video(
+            st_t, start_frame_idx=6, max_frame_num_to_track=3
+        ):
+            fwd_t[f] = m.numpy()
+            _float_all_maskmem(st_t)
+
+    st_j = ours.init_state(video_dir)
+    ours.add_new_points_or_box(st_j, 0, 1, points=points, labels=labels)
+    for _f, _ids, _m in ours.propagate_in_video(st_j, max_frame_num_to_track=6):
+        pass
+    _, _, mj = ours.add_new_mask(st_j, 5, 1, corr)
+    mj = np.asarray(mj)
+    fwd_j = {}
+    for f, _ids, m in ours.propagate_in_video(
+        st_j, start_frame_idx=6, max_frame_num_to_track=3
+    ):
+        fwd_j[f] = np.asarray(m)
+
+    # corrected frame returns the mask passthrough, identically on both sides
+    assert _iou(mj[0, 0] > 0, corr) >= 0.99
+    assert np.abs(mt - mj).max() <= 0.05
+    # frames after the correction attend to the corrected memory
+    assert set(fwd_t) == set(fwd_j)
+    for f in sorted(fwd_t):
+        err = np.abs(fwd_t[f] - fwd_j[f]).max()
+        assert err <= 0.05, f"frame {f}: logit err {err:.4f}"
+
+
+@pytest.fixture(scope="module")
+def predictors_v20_flags(video_dir):
+    """Predictor pair with the SAM 2.0-style pointer flags (Linear
+    obj_ptr_proj, no pointer temporal PE) — exercises the non-2.1 branches
+    of the pointer machinery against the reference."""
+    from reference_helper import build_torch_video_predictor, state_dict_numpy
+
+    from sam2_opt_tpu.config import model_config
+    from sam2_opt_tpu.io.torch_convert import convert_state_dict
+    from sam2_opt_tpu.models.model import SAM2Model
+    from sam2_opt_tpu.predictors.video import SAM2VideoPredictor
+
+    flags = dict(
+        use_mlp_for_obj_ptr_proj=False,
+        add_tpos_enc_to_obj_ptrs=False,
+        proj_tpos_enc_in_obj_ptrs=False,
+        use_signed_tpos_enc_to_obj_ptrs=False,
+    )
+    torch_vp = build_torch_video_predictor("hiera_t", seed=0, **flags)
+    cfg = model_config("hiera_t", **flags)
+    params = convert_state_dict(state_dict_numpy(torch_vp))
+    ours = SAM2VideoPredictor(SAM2Model(params, cfg), fill_hole_area=0)
+    return torch_vp, ours
+
+
+def test_v20_pointer_flags_parity(predictors_v20_flags, video_dir):
+    """Linear obj_ptr_proj + zero pointer tpos PE (2.0-style flags) track a
+    short clip identically to the reference."""
+    import torch
+
+    torch_vp, ours = predictors_v20_flags
+    points = np.array([[54, 74]], np.float32)
+    labels = np.array([1], np.int32)
+
+    with torch.no_grad():
+        st_t = torch_vp.init_state(video_dir)
+        torch_vp.add_new_points_or_box(st_t, 0, 1, points=points, labels=labels)
+        fwd_t = {}
+        for f, _ids, m in torch_vp.propagate_in_video(
+            st_t, max_frame_num_to_track=5
+        ):
+            fwd_t[f] = m.numpy()
+            _float_all_maskmem(st_t)
+
+    st_j = ours.init_state(video_dir)
+    ours.add_new_points_or_box(st_j, 0, 1, points=points, labels=labels)
+    fwd_j = {}
+    for f, _ids, m in ours.propagate_in_video(st_j, max_frame_num_to_track=5):
+        fwd_j[f] = np.asarray(m)
+
+    assert set(fwd_t) == set(fwd_j)
+    for f in sorted(fwd_t):
+        err = np.abs(fwd_t[f] - fwd_j[f]).max()
+        assert err <= 0.05, f"frame {f}: logit err {err:.4f}"
+
+
+@pytest.fixture(scope="module")
+def predictors_dense_mask_prompt(video_dir):
+    """use_mask_input_as_output_without_sam=False: mask prompts become dense
+    SAM prompts instead of GT passthrough (reference _track_step else-branch
+    -> _forward_sam_heads mask_inputs)."""
+    from reference_helper import build_torch_video_predictor, state_dict_numpy
+
+    from sam2_opt_tpu.config import model_config
+    from sam2_opt_tpu.io.torch_convert import convert_state_dict
+    from sam2_opt_tpu.models.model import SAM2Model
+    from sam2_opt_tpu.predictors.video import SAM2VideoPredictor
+
+    torch_vp = build_torch_video_predictor(
+        "hiera_t", seed=0, use_mask_input_as_output_without_sam=False
+    )
+    cfg = model_config("hiera_t", use_mask_input_as_output_without_sam=False)
+    params = convert_state_dict(state_dict_numpy(torch_vp))
+    ours = SAM2VideoPredictor(SAM2Model(params, cfg), fill_hole_area=0)
+    return torch_vp, ours
+
+
+def test_dense_mask_prompt_parity(predictors_dense_mask_prompt, video_dir):
+    """With the passthrough disabled, the 1024² mask must be antialias-resized
+    to the prompt grid and fed to the SAM heads (reference
+    _forward_sam_heads :402-416) — not silently dropped."""
+    import torch
+
+    torch_vp, ours = predictors_dense_mask_prompt
+    mask0 = np.zeros((VH, VW), bool)
+    mask0[50:98, 30:78] = True  # square at frame 0
+
+    with torch.no_grad():
+        st_t = torch_vp.init_state(video_dir)
+        _, _, mt = torch_vp.add_new_mask(st_t, 0, 1, torch.from_numpy(mask0))
+        mt = mt.numpy()
+
+    st_j = ours.init_state(video_dir)
+    _, _, mj = ours.add_new_mask(st_j, 0, 1, mask0)
+    mj = np.asarray(mj)
+
+    assert mt.shape == mj.shape
+    err = np.abs(mt - mj).max()
+    assert err <= 0.05, f"dense-mask-prompt logit err {err:.4f}"

@@ -34,11 +34,6 @@ _EMBED_WEIGHT_RES = [
     re.compile(r"obj_score_token\.weight$"),
 ]
 
-# ConvTranspose2d weights (torch layout IOHW).
-_CONV_TRANSPOSE_RES = [
-    re.compile(r"sam_mask_decoder\.output_upscaling\.(0|3)\.weight$"),
-]
-
 # 4-D parameters that are positional embeddings in NCHW, not conv kernels.
 _NCHW_PARAM_RES = [
     re.compile(r"pos_embed$"),
@@ -56,12 +51,10 @@ def convert_tensor(key: str, value: np.ndarray) -> np.ndarray:
     if _is_match(key, _NCHW_PARAM_RES):
         return np.transpose(v, (0, 2, 3, 1))  # NCHW -> NHWC
     if v.ndim == 4 and key.endswith("weight"):
-        if _is_match(key, _CONV_TRANSPOSE_RES):
-            return np.transpose(v, (2, 3, 1, 0))  # IOHW -> HWOI
-        return np.transpose(v, (2, 3, 1, 0))  # OIHW -> HWIO
+        # one transpose covers both layouts: conv OIHW -> HWIO and
+        # conv-transpose IOHW -> HWOI relabel the same axis permutation
+        return np.transpose(v, (2, 3, 1, 0))
     if v.ndim == 2 and key.endswith("weight") and not _is_match(key, _EMBED_WEIGHT_RES):
-        if key.endswith("positional_encoding_gaussian_matrix"):
-            return v
         return np.transpose(v)  # [out, in] -> [in, out]
     return v
 

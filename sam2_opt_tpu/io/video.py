@@ -39,12 +39,27 @@ def _load_jpeg_dir(path: str, image_size: int):
         for p in os.listdir(path)
         if os.path.splitext(p)[-1].lower() in (".jpg", ".jpeg", ".png")
     ]
+    if not names:
+        raise RuntimeError(f"no images found in {path}")
     try:
         names.sort(key=lambda p: int(os.path.splitext(p)[0]))
     except ValueError:
-        names.sort()
-    if not names:
-        raise RuntimeError(f"no images found in {path}")
+        # non-integer stems: order by the trailing digit run (frame_2 before
+        # frame_10 — a lexicographic fallback would shuffle frames silently);
+        # refuse undigited names instead of guessing an order
+        import re as _re
+
+        def frame_no(p):
+            m = _re.search(r"(\d+)\D*$", os.path.splitext(p)[0])
+            if m is None:
+                raise RuntimeError(
+                    f"cannot order frame file {p!r} in {path}: filenames "
+                    f"must contain a frame number (reference misc.py:213 "
+                    f"requires bare integer stems)"
+                )
+            return int(m.group(1))
+
+        names.sort(key=frame_no)
     paths = [os.path.join(path, n) for n in names]
 
     # fast path: native threaded libjpeg decode+resize (csrc/sam2io.cpp)
@@ -118,6 +133,11 @@ def load_video_frames(
         arr = video_path
         assert arr.ndim == 4 and arr.shape[-1] == 3
         vh, vw = arr.shape[1:3]
+        if np.issubdtype(arr.dtype, np.floating):
+            # accept float frames in [0,1] or [0,255] — a bare astype(uint8)
+            # would floor normalized frames to all-black
+            scale = 255.0 if arr.max() <= 1.0 + 1e-6 else 1.0
+            arr = np.clip(np.rint(arr * scale), 0, 255).astype(np.uint8)
         if arr.shape[1] != image_size or arr.shape[2] != image_size:
             arr = np.stack([_resize_uint8(f, image_size) for f in arr])
         return FrameSource(arr.astype(np.uint8), vh, vw), vh, vw

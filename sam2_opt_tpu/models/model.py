@@ -136,7 +136,8 @@ class SAM2Model:
 
     def quantize_int8(self, calib_dir: Optional[str] = None,
                       activation_quant: bool = True, dtype=jnp.bfloat16,
-                      pattern: Optional[str] = None):
+                      pattern: Optional[str] = None,
+                      max_images: Optional[int] = None):
         """Int8-quantize the encoder hot path (TPU-native analogue of the
         reference's TRT int8 engines, quant_image_encoder.py:8-75). Quantizes
         the COMPUTE params only; the fp32 master tree is untouched."""
@@ -151,7 +152,8 @@ class SAM2Model:
             )
 
             ds = ImageEncodeCalibratorDataset(
-                calib_dir, image_size=self.cfg.image_size
+                calib_dir, image_size=self.cfg.image_size,
+                **({"max_images": max_images} if max_images else {}),
             )
             act_scales = collect_activation_scales(
                 self.params, self.cfg, ds.batches(), pattern=pattern

@@ -124,15 +124,16 @@ def quantize_model(model, images_path: Optional[str] = None,
                    pattern: str = DEFAULT_QUANT_PATTERN,
                    activation_quant: bool = False, max_images: int = 32):
     """One-call int8 quantization of a SAM2Model (the quant_image_encoder.py
-    equivalent). Weight-only unless images_path given and activation_quant."""
-    from sam2_opt_tpu.quant.int8 import quantize_params
+    equivalent). Weight-only unless images_path given and activation_quant.
 
-    act_scales = None
-    if activation_quant and images_path:
-        ds = ImageEncodeCalibratorDataset(images_path, image_size=model.cfg.image_size)
-        act_scales = collect_activation_scales(
-            model.params, model.cfg, ds.batches()
-        )
-    model.params = quantize_params(model.params, pattern, act_scales)
-    model.set_runtime_backend("xla")
+    Thin wrapper over SAM2Model.quantize_int8: quantizes the COMPUTE params
+    only (the fp32 master tree is untouched, so speedup("eager") still
+    restores the parity path), raises if calibration yields no scales, and
+    bounds calibration to `max_images` images."""
+    model.quantize_int8(
+        calib_dir=images_path if activation_quant else None,
+        activation_quant=activation_quant,
+        pattern=pattern,
+        max_images=max_images,
+    )
     return model

@@ -47,8 +47,6 @@ def quantize_params(params: Dict, pattern: str = DEFAULT_QUANT_PATTERN,
     quantized form. `act_scales` maps the same dotted weight names to
     calibrated per-tensor input-activation scales."""
     rx = re.compile(pattern)
-    flat = jax.tree_util.tree_flatten_with_path(params)
-    leaves_by_path = dict(flat[0])
 
     def rebuild(tree, prefix=()):
         if not isinstance(tree, dict):

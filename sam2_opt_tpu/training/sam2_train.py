@@ -41,9 +41,12 @@ def sample_random_points_from_errors(rng, gt_masks, pred_masks, num_pts: int = 1
     fp = (~gt) & pred
     fn = gt & (~pred)
     error = fp | fn
-    # if no error, fall back to sampling a GT-positive point (label 1)
+    # when the prediction exactly matches GT, the reference samples a
+    # NEGATIVE click from the BACKGROUND region (sam2_utils.py:236-242:
+    # `pts_noise[..., 0] *= fp_masks | (all_correct & ~gt_masks)`) — a
+    # positive fallback would supervise "positive click -> empty mask"
     any_error = jnp.any(error.reshape(B, -1), axis=-1, keepdims=True)
-    pool = jnp.where(any_error[..., None].reshape(B, 1, 1), error, gt)
+    pool = jnp.where(any_error[..., None].reshape(B, 1, 1), error, ~gt)
     logits = jnp.where(pool.reshape(B, -1), 0.0, -1e30)
     keys = jax.random.split(rng, num_pts)
     coords, labels = [], []
@@ -55,10 +58,9 @@ def sample_random_points_from_errors(rng, gt_masks, pred_masks, num_pts: int = 1
         is_fn = jnp.take_along_axis(
             fn.reshape(B, -1), idx[:, None], axis=1
         )[:, 0]
-        no_err = ~any_error[:, 0]
-        # clicks in FN (missing) regions are positive; FP regions negative;
-        # no-error fallback samples a positive GT point
-        labels.append(jnp.where(is_fn | no_err, 1, 0).astype(jnp.int32))
+        # clicks in FN (missing) regions are positive; FP regions and the
+        # no-error background fallback are negative
+        labels.append(jnp.where(is_fn, 1, 0).astype(jnp.int32))
     return jnp.stack(coords, axis=1), jnp.stack(labels, axis=1)
 
 
@@ -442,4 +444,7 @@ def video_train_loss(params, cfg: SAM2Config, images, gt_masks, rng,
         total = total + ld["core_loss"]
         for k in aux:
             aux[k] = aux[k] + ld[k]
-    return total / len(masks), aux
+    # SUM over frames like the reference MultiStepMultiMasksAndIous.forward
+    # (loss_fns.py:176-181) — dividing by T would shrink gradients T-fold
+    # under the reference recipe's lr/clip hyperparameters
+    return total, aux

@@ -119,6 +119,7 @@ class Trainer:
         self.ckpt = CheckpointManager(train_cfg.checkpoint_dir)
         self.tb = TensorBoardLogger(train_cfg.log_dir)
         self._step_fns = {}
+        self._correct_frame_pools = {}
         self._rng = jax.random.PRNGKey(train_cfg.seed)
         import random as _random
 
@@ -235,14 +236,28 @@ class Trainer:
 
     def run(self, train_loader_fn, val_loader_fn=None,
             steps_per_epoch: Optional[int] = None):
-        """train_loader_fn(epoch) -> iterator of collated batches."""
+        """train_loader_fn(epoch) -> iterator of collated batches.
+
+        `steps_per_epoch` sizes the lr schedule (where = steps/total). When
+        not given, the first epoch runs on the warmup-side estimate and the
+        count measured from epoch 0 sizes the remaining epochs — without
+        this, total_steps would collapse to num_epochs and the un-clamped
+        cosine would oscillate every step."""
         self.load_checkpoint()
-        total_steps = (steps_per_epoch or 1) * self.tcfg.num_epochs
+        total_steps = steps_per_epoch and steps_per_epoch * self.tcfg.num_epochs
 
         while self.epoch < self.tcfg.num_epochs:
+            steps_before = self.steps
             self.train_epoch(
                 train_loader_fn(self.epoch), total_steps, steps_per_epoch
             )
+            if total_steps is None and self.steps > steps_before:
+                measured = self.steps - steps_before
+                total_steps = measured * self.tcfg.num_epochs
+                logging.info(
+                    "steps_per_epoch not given; measured %d from epoch %d "
+                    "-> total_steps %d", measured, self.epoch, total_steps,
+                )
             if val_loader_fn is not None:
                 self.val_epoch(val_loader_fn(self.epoch))
             self.epoch += 1
@@ -251,7 +266,7 @@ class Trainer:
         self.save_checkpoint()
         self.tb.close()
 
-    def train_epoch(self, loader, total_steps: int, steps_per_epoch):
+    def train_epoch(self, loader, total_steps: Optional[int], steps_per_epoch):
         loss_meter = AverageMeter("loss", fmt=":.4f")
         data_time = AverageMeter("data_s", fmt=":.2f")
         step_time = AverageMeter("step_s", fmt=":.2f")
@@ -281,7 +296,15 @@ class Trainer:
                 masks = jax.device_put(masks, sh)
                 obj_valid = jax.device_put(obj_valid, sh)
             self._rng, key = jax.random.split(self._rng)
-            where = self.steps / max(total_steps, 1)
+            if total_steps:
+                denom = total_steps
+            else:
+                # total unknown (epoch 0 with steps_per_epoch=None): use the
+                # monotone lower bound num_epochs * steps_so-far, which keeps
+                # `where` below 1/num_epochs (warmup/early-cosine side) until
+                # run() measures the real epoch length
+                denom = self.tcfg.num_epochs * (self.steps + 1)
+            where = min(self.steps / max(denom, 1), 1.0 - 1e-6)
             lr = jnp.asarray(self.optimizer.lr_at(where), jnp.float32)
 
             # per-step sampling of the initial prompt form (reference
@@ -297,10 +320,27 @@ class Trainer:
             extra = max(self.tcfg.num_frames_to_correct - n_init, 0)
             correct_frames = ()
             if not use_mask and extra > 0 and T > n_init:
-                pool = list(range(n_init, T))
-                correct_frames = tuple(
-                    sorted(self._pyrng.sample(pool, min(extra, len(pool))))
-                )
+                # Each distinct frame subset is a distinct XLA graph (the
+                # rollout unrolls frames statically), so a fresh random
+                # subset per step — the reference's behavior — would compile
+                # the full fwd+bwd rollout up to C(T-n_init, extra) times.
+                # Bound it: draw a small pool of subsets once per shape and
+                # cycle through them (documented deviation; the supervision
+                # distribution stays uniform over the pooled subsets).
+                pool_key = (T, n_init, extra)
+                variants = self._correct_frame_pools.get(pool_key)
+                if variants is None:
+                    pool = list(range(n_init, T))
+                    k = min(extra, len(pool))
+                    variants = []
+                    seen = set()
+                    for _ in range(16):
+                        c = tuple(sorted(self._pyrng.sample(pool, k)))
+                        if c not in seen and len(variants) < 4:
+                            seen.add(c)
+                            variants.append(c)
+                    self._correct_frame_pools[pool_key] = variants
+                correct_frames = variants[self._pyrng.randrange(len(variants))]
             skey = (use_box, use_mask, n_init, correct_frames)
             step_fn = self._step_fns.get(skey)
             if step_fn is None:

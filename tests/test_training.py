@@ -498,3 +498,45 @@ def test_mixed_dataset_loader(tmp_path):
     b0 = list(mix2.get_loader(epoch=0))
     b1 = list(mix2.get_loader(epoch=1))
     assert len(b0) == 2 and len(b1) == 2
+
+
+def test_error_click_fallback_is_negative_background():
+    """When the prediction exactly matches GT, the reference samples a
+    NEGATIVE click from the BACKGROUND (sam2_utils.py:236-242) — a positive
+    fallback would supervise 'positive click -> empty/unchanged mask'."""
+    import jax
+    import jax.numpy as jnp
+
+    from sam2_opt_tpu.training.sam2_train import sample_random_points_from_errors
+
+    H = W = 16
+    gt = np.zeros((1, 1, H, W), bool)
+    gt[0, 0, 4:8, 4:8] = True
+    gt = jnp.asarray(gt)
+
+    # exact match -> negative background click
+    for seed in range(5):
+        coords, labels = sample_random_points_from_errors(
+            jax.random.PRNGKey(seed), gt, gt
+        )
+        assert int(labels[0, 0]) == 0, "no-error fallback must be negative"
+        x, y = int(coords[0, 0, 0]), int(coords[0, 0, 1])
+        assert not bool(gt[0, 0, y, x]), "fallback click must be background"
+
+    # empty GT + empty prediction -> also a negative click
+    empty = jnp.zeros((1, 1, H, W), bool)
+    _, labels = sample_random_points_from_errors(
+        jax.random.PRNGKey(0), empty, empty
+    )
+    assert int(labels[0, 0]) == 0
+
+    # error regions still drive the labels: FN -> positive, FP -> negative
+    pred = jnp.zeros((1, 1, H, W), bool)
+    _, labels_fn = sample_random_points_from_errors(
+        jax.random.PRNGKey(1), gt, pred
+    )
+    assert int(labels_fn[0, 0]) == 1
+    _, labels_fp = sample_random_points_from_errors(
+        jax.random.PRNGKey(2), pred, gt
+    )
+    assert int(labels_fp[0, 0]) == 0

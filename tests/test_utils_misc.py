@@ -139,3 +139,45 @@ def test_obj_ptr_capacity_grows_beyond_max(tiny128_cfg, tiny128_params):
     mem1 = vp._gather_memory({"num_frames": 40}, od1, 30, reverse=False)
     assert len(mem1.ptrs) == tiny128_cfg.max_obj_ptrs_in_encoder
     assert int(np.asarray(mem1.ptr_valid).sum()) == 16
+
+
+def test_load_video_frames_float_ndarray():
+    """Float frames in [0,1] (the graph's own format) and [0,255] must not be
+    truncated to black by a bare uint8 cast."""
+    from sam2_opt_tpu.io.video import load_video_frames
+
+    rng = np.random.default_rng(0)
+    base = rng.random((2, 64, 64, 3)).astype(np.float32)
+
+    src01, vh, vw = load_video_frames(base, image_size=64)
+    assert (vh, vw) == (64, 64)
+    np.testing.assert_allclose(
+        np.asarray(src01.frames), np.rint(base * 255), atol=1
+    )
+
+    src255, _, _ = load_video_frames(base * 255.0, image_size=64)
+    np.testing.assert_allclose(
+        np.asarray(src255.frames), np.rint(base * 255), atol=1
+    )
+
+
+def test_jpeg_dir_numeric_suffix_ordering(tmp_path):
+    """frame_2.jpg must precede frame_10.jpg (trailing-digit ordering, not
+    lexicographic); undigited names raise instead of silently shuffling."""
+    from PIL import Image
+
+    from sam2_opt_tpu.io.video import _load_jpeg_dir
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    for i in (1, 2, 10, 11):
+        Image.fromarray(np.full((8, 8, 3), i, np.uint8)).save(
+            d / f"frame_{i}.jpg"
+        )
+    frames, vh, vw = _load_jpeg_dir(str(d), 8)
+    order = [int(np.asarray(f).mean().round()) for f in frames]
+    assert order == sorted(order), order
+
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(d / "cover.jpg")
+    with pytest.raises(RuntimeError, match="frame number"):
+        _load_jpeg_dir(str(d), 8)

@@ -84,7 +84,11 @@ def _dilate(bmap: np.ndarray, kernel: np.ndarray) -> np.ndarray:
 
 def boundary_f_measure(pred: np.ndarray, gt: np.ndarray,
                        boundary: float = 0.008) -> float:
-    """Boundary F-score for one binary mask pair (sav_benchmark.py:269-303)."""
+    """Boundary F-score for one binary mask pair (sav_benchmark.py:269-303).
+
+    `boundary` is always a diagonal FRACTION, like the reference
+    (sav_benchmark.py:256 scales unconditionally) — NOT the older DAVIS
+    f_boundary convention where bound_th >= 1 means a pixel radius."""
     bound_pix = np.ceil(boundary * np.linalg.norm(pred.shape))
     kernel = disk(bound_pix)
     mask_boundary = seg2bmap(pred)

@@ -60,11 +60,14 @@ def get_per_obj_mask(mask: np.ndarray) -> Dict[int, np.ndarray]:
 
 
 def put_per_obj_mask(per_obj_mask: Dict[int, np.ndarray], height, width):
-    """Combine per-object binary masks into one id mask (higher id on top)."""
+    """Combine per-object binary masks into one id mask. Written in
+    DESCENDING id order with unconditional overwrite, so on overlap the
+    LOWEST id wins — matching the reference put_per_obj_mask
+    (tools/vos_inference.py:42-53) so outputs compare bit-for-bit."""
     mask = np.zeros((height, width), np.uint8)
     for oid in sorted(per_obj_mask)[::-1]:
         obj_mask = per_obj_mask[oid].reshape(height, width)
-        mask[obj_mask & (mask == 0)] = oid
+        mask[obj_mask] = oid
     return mask
 
 
@@ -117,8 +120,17 @@ def vos_inference(
             inputs_per_frame[t] = get_per_obj_mask(mask)
 
     if not use_all_masks:
-        first_t = min(inputs_per_frame)
-        inputs_per_frame = {first_t: inputs_per_frame[first_t]}
+        # the reference seeds from FRAME 0 only (:146-147) and directs
+        # datasets with later-appearing objects to the separate-per-object
+        # path — mirror that instead of silently picking a different frame
+        if 0 not in inputs_per_frame:
+            raise RuntimeError(
+                f"{video_name}: no input mask on the first frame; use "
+                f"use_all_masks=True or vos_separate_inference_per_object "
+                f"(--track_object_appearing_later_in_video) for datasets "
+                f"whose objects appear mid-video."
+            )
+        inputs_per_frame = {0: inputs_per_frame[0]}
 
     for t, per_obj in sorted(inputs_per_frame.items()):
         for obj_id, obj_mask in per_obj.items():
@@ -130,12 +142,20 @@ def vos_inference(
         for i, obj_id in enumerate(obj_ids):
             outputs_per_frame[frame_idx][obj_id] = masks_np[i, 0] > score_thresh
 
-    # write outputs
+    _write_outputs(outputs_per_frame, output_mask_dir, video_name, frame_names,
+                   height, width, per_obj_png_file, input_palette)
+    predictor.reset_state(inference_state)
+    return outputs_per_frame
+
+
+def _write_outputs(outputs_per_frame, output_mask_dir, video_name, frame_names,
+                   height, width, per_obj_png_file, input_palette):
+    """Palette-PNG writer shared by the joint and per-object paths."""
     for frame_idx, per_obj in outputs_per_frame.items():
         name = frame_names[frame_idx]
         if per_obj_png_file:
             for obj_id, m in per_obj.items():
-                out = (m.astype(np.uint8))
+                out = m.reshape(height, width).astype(np.uint8)
                 save_ann_png(
                     os.path.join(output_mask_dir, video_name, f"{obj_id:03d}",
                                  f"{name}.png"),
@@ -147,15 +167,96 @@ def vos_inference(
                 os.path.join(output_mask_dir, video_name, f"{name}.png"),
                 combined, input_palette,
             )
+
+
+def vos_separate_inference_per_object(
+    predictor,
+    base_video_dir: str,
+    input_mask_dir: str,
+    output_mask_dir: str,
+    video_name: str,
+    score_thresh: float = 0.0,
+    use_all_masks: bool = False,
+    per_obj_png_file: bool = False,
+):
+    """Per-object separate tracking (reference :249-363): each object is
+    seeded at ITS OWN first annotated frame (or all its annotated frames
+    with use_all_masks) and tracked in its own pass — for datasets like
+    LVOS / YouTube-VOS where objects appear mid-video. Per-frame scores are
+    consolidated with the non-overlapping constraint (joint PNG layout
+    only), missing frames scored NO_OBJ (-1024)."""
+    import jax.numpy as jnp
+
+    from sam2_opt_tpu.models import sam2_base as base
+
+    video_dir = os.path.join(base_video_dir, video_name)
+    frame_names = _input_frames(video_dir)
+    inference_state = predictor.init_state(video_path=video_dir)
+    height = inference_state["video_height"]
+    width = inference_state["video_width"]
+
+    # collect every object's annotated frames
+    input_palette = None
+    inputs_per_object: Dict[int, Dict[int, np.ndarray]] = defaultdict(dict)
+    mask_video_dir = os.path.join(input_mask_dir, video_name)
+    if per_obj_png_file:
+        for obj_dir in sorted(os.listdir(mask_video_dir)):
+            obj_id = int(obj_dir)
+            obj_path = os.path.join(mask_video_dir, obj_dir)
+            for fn in sorted(os.listdir(obj_path)):
+                t = frame_names.index(os.path.splitext(fn)[0])
+                mask, input_palette = load_ann_png(os.path.join(obj_path, fn))
+                if (mask > 0).any():
+                    inputs_per_object[obj_id][t] = mask > 0
+    else:
+        for fn in sorted(os.listdir(mask_video_dir)):
+            t = frame_names.index(os.path.splitext(fn)[0])
+            mask, input_palette = load_ann_png(os.path.join(mask_video_dir, fn))
+            for oid, m in get_per_obj_mask(mask).items():
+                if m.any():
+                    inputs_per_object[oid][t] = m
+    if not use_all_masks:
+        inputs_per_object = {
+            oid: {min(d): d[min(d)]} for oid, d in inputs_per_object.items()
+        }
+
+    # one tracking pass per object, starting at its first annotated frame
+    object_ids = sorted(inputs_per_object)
+    scores_per_object: Dict[int, Dict[int, np.ndarray]] = {}
+    for oid in object_ids:
+        predictor.reset_state(inference_state)
+        inds = sorted(inputs_per_object[oid])
+        for t in inds:
+            predictor.add_new_mask(
+                inference_state, t, oid, inputs_per_object[oid][t]
+            )
+        scores_per_object[oid] = {}
+        for frame_idx, _, masks in predictor.propagate_in_video(
+            inference_state, start_frame_idx=min(inds)
+        ):
+            scores_per_object[oid][frame_idx] = np.asarray(masks)[0]
+
+    # consolidate per frame (reference :330-351)
+    outputs_per_frame: Dict[int, Dict[int, np.ndarray]] = {}
+    for frame_idx in range(len(frame_names)):
+        scores = np.full((len(object_ids), 1, height, width), -1024.0,
+                         np.float32)
+        for i, oid in enumerate(object_ids):
+            if frame_idx in scores_per_object[oid]:
+                scores[i] = scores_per_object[oid][frame_idx]
+        if not per_obj_png_file:
+            scores = np.asarray(
+                base.apply_non_overlapping_constraints(jnp.asarray(scores))
+            )
+        outputs_per_frame[frame_idx] = {
+            oid: scores[i, 0] > score_thresh
+            for i, oid in enumerate(object_ids)
+        }
+
+    _write_outputs(outputs_per_frame, output_mask_dir, video_name, frame_names,
+                   height, width, per_obj_png_file, input_palette)
     predictor.reset_state(inference_state)
     return outputs_per_frame
-
-
-def vos_separate_inference_per_object(predictor, *args, **kwargs):
-    """Per-object separate tracking (reference :249-360). The per-object
-    tracks in our predictor are already independent (post-12/2024 API), so
-    joint inference gives identical results; provided for CLI parity."""
-    return vos_inference(predictor, *args, **kwargs)
 
 
 def main():
@@ -171,6 +272,11 @@ def main():
     parser.add_argument("--score_thresh", type=float, default=0.0)
     parser.add_argument("--use_all_masks", action="store_true")
     parser.add_argument("--per_obj_png_file", action="store_true")
+    parser.add_argument(
+        "--track_object_appearing_later_in_video", action="store_true",
+        help="per-object separate tracking, seeding each object at its own "
+             "first annotated frame (LVOS / YouTube-VOS)",
+    )
     parser.add_argument("--backend", default="xla",
                         help="'xla' (compiled, default) or 'eager'")
     args = parser.parse_args()
@@ -187,9 +293,14 @@ def main():
     else:
         videos = sorted(os.listdir(args.base_video_dir))
     print(f"running VOS prediction on {len(videos)} videos")
+    infer_fn = (
+        vos_separate_inference_per_object
+        if args.track_object_appearing_later_in_video
+        else vos_inference
+    )
     for i, video_name in enumerate(videos):
         print(f"[{i+1}/{len(videos)}] {video_name}")
-        vos_inference(
+        infer_fn(
             predictor,
             args.base_video_dir,
             args.input_mask_dir,

@@ -111,16 +111,22 @@ def fill_holes_and_sprinkles(masks, mask_threshold: float, max_hole_area: float,
     small background components (filled to threshold+10), sprinkles are small
     foreground components (suppressed to threshold-10). masks: [..., H, W]."""
     shape = masks.shape
-    flat = masks.reshape(-1, shape[-2], shape[-1])
+    orig = masks.reshape(-1, shape[-2], shape[-1])
+    # BOTH component maps are computed from the ORIGINAL logits (the
+    # reference builds mask_flat once, before the hole-fill reassignment,
+    # transforms.py:86-106) — running the sprinkle pass on hole-filled
+    # logits would let a filled hole merge with a small island and push it
+    # over the suppression threshold
+    flat = orig
     if max_hole_area > 0:
         labels, areas = connected_components(
-            flat <= mask_threshold, num_iters=num_iters
+            orig <= mask_threshold, num_iters=num_iters
         )
         is_hole = (labels > 0) & (areas <= max_hole_area)
         flat = jnp.where(is_hole, mask_threshold + 10.0, flat)
     if max_sprinkle_area > 0:
         labels, areas = connected_components(
-            flat > mask_threshold, num_iters=num_iters
+            orig > mask_threshold, num_iters=num_iters
         )
         is_sprinkle = (labels > 0) & (areas <= max_sprinkle_area)
         flat = jnp.where(is_sprinkle, mask_threshold - 10.0, flat)

@@ -24,6 +24,12 @@ from sam2_opt_tpu.models import sam2_base as base
 from sam2_opt_tpu.ops import common as ops
 
 
+def _squeeze0(a: np.ndarray) -> np.ndarray:
+    """torch .squeeze(0) semantics: drop the leading axis only when it is 1
+    (a single prompt); multi-prompt outputs keep their batch axis."""
+    return a[0] if a.shape[0] == 1 else a
+
+
 class SAM2ImagePredictor:
     def __init__(
         self,
@@ -127,8 +133,17 @@ class SAM2ImagePredictor:
         self._is_batch = True
 
     def _set_image_(self, images: List[np.ndarray]):
-        batch = np.stack(images).astype(np.uint8)
-        x = self._resize_to_model(batch)
+        if len({img.shape for img in images}) > 1:
+            # heterogeneous batch: resize each image to the model resolution
+            # BEFORE stacking (reference SAM2Transforms.forward_batch resizes
+            # per image; _orig_hw already records the per-image shapes).
+            # Same resize as the homogeneous path for numeric consistency.
+            x = jnp.concatenate(
+                [self._resize_to_model(np.asarray(img, np.uint8)[None])
+                 for img in images]
+            )
+        else:
+            x = self._resize_to_model(np.stack(images).astype(np.uint8))
         mesh = self.model.mesh
         if mesh is not None and x.shape[0] % mesh.shape["data"] == 0:
             from sam2_opt_tpu.parallel import mesh as mesh_lib
@@ -189,10 +204,13 @@ class SAM2ImagePredictor:
             unnorm_coords, labels, unnorm_box, mask_in, multimask_output,
             return_logits=return_logits,
         )
+        # squeeze(0) like the reference (:451-454): a single prompt loses the
+        # leading axis, but multiple prompts (e.g. several boxes) keep ALL
+        # their masks — indexing [0] would silently drop the rest
         return (
-            np.asarray(masks[0]),
-            np.asarray(ious[0], np.float32),
-            np.asarray(low_res[0]),
+            _squeeze0(np.asarray(masks)),
+            _squeeze0(np.asarray(ious, np.float32)),
+            _squeeze0(np.asarray(low_res)),
         )
 
     def predict_batch(
@@ -221,9 +239,9 @@ class SAM2ImagePredictor:
                 coords, labels, ubox, mask_in, multimask_output,
                 return_logits=return_logits, img_idx=i,
             )
-            all_masks.append(np.asarray(masks[0]))
-            all_ious.append(np.asarray(ious[0], np.float32))
-            all_low.append(np.asarray(low[0]))
+            all_masks.append(_squeeze0(np.asarray(masks)))
+            all_ious.append(_squeeze0(np.asarray(ious, np.float32)))
+            all_low.append(_squeeze0(np.asarray(low)))
         return all_masks, all_ious, all_low
 
     def _predict(self, point_coords, point_labels, boxes=None, mask_input=None,

@@ -5,8 +5,12 @@ Re-design of sam2/demo/backend/server/inference/predictor.py:43-430
 inference_state, with start/close session, add_points, add_mask,
 clear_points, remove_object, and a streaming propagate_in_video that yields
 per-frame RLE masks (the reference streams multipart chunked RLE,
-inference/multipart.py). Thread-safe via a per-API lock (the reference relies
-on torch autocast contexts + GIL the same way).
+inference/multipart.py). Thread safety: a global lock guards the session
+dict; a per-session lock serializes every state-mutating call on one
+session, INCLUDING the whole streamed propagation (so a concurrent
+add_points/remove_object cannot re-index the state mid-stream). Different
+sessions run concurrently; cancellation takes only the global lock and is
+never blocked by a running stream.
 """
 
 from __future__ import annotations
@@ -43,6 +47,10 @@ class InferenceAPI:
             self.session_states[session_id] = {
                 "canceled": False,
                 "state": state,
+                # plain Lock (not RLock): held across a whole streamed
+                # propagation by the handler thread; a plain Lock may be
+                # released from whichever thread runs the generator cleanup
+                "lock": threading.Lock(),
             }
             return session_id
 
@@ -66,6 +74,7 @@ class InferenceAPI:
         """reference :120-153; returns per-object RLE masks on that frame."""
         with self._lock:
             session = self._get_session(session_id)
+        with session["lock"]:
             frame_idx, obj_ids, masks = self.predictor.add_new_points_or_box(
                 session["state"], frame_index, object_id,
                 points=np.asarray(points, np.float32),
@@ -79,6 +88,7 @@ class InferenceAPI:
         """reference :155-193; mask given as uncompressed RLE."""
         with self._lock:
             session = self._get_session(session_id)
+        with session["lock"]:
             mask = rle_to_mask(mask_rle)
             frame_idx, obj_ids, masks = self.predictor.add_new_mask(
                 session["state"], frame_index, object_id, mask
@@ -89,6 +99,7 @@ class InferenceAPI:
                               object_id: int) -> dict:
         with self._lock:
             session = self._get_session(session_id)
+        with session["lock"]:
             out = self.predictor.clear_all_prompts_in_frame(
                 session["state"], frame_index, object_id
             )
@@ -99,12 +110,14 @@ class InferenceAPI:
     def clear_points_in_video(self, session_id: str) -> bool:
         with self._lock:
             session = self._get_session(session_id)
+        with session["lock"]:
             self.predictor.reset_state(session["state"])
             return True
 
     def remove_object(self, session_id: str, object_id: int) -> list:
         with self._lock:
             session = self._get_session(session_id)
+        with session["lock"]:
             obj_ids, updated = self.predictor.remove_object(
                 session["state"], object_id
             )
@@ -120,12 +133,18 @@ class InferenceAPI:
             session = self._get_session(session_id)
             session["canceled"] = False
             state = session["state"]
-        for frame_idx, obj_ids, masks in self.predictor.propagate_in_video(
-            state, start_frame_idx=start_frame_index
-        ):
-            if session["canceled"]:
-                return
-            yield self._frame_response(frame_idx, obj_ids, masks)
+        # hold the SESSION lock for the entire stream: concurrent
+        # add_points/add_mask/remove_object on the same session would
+        # otherwise re-index the state the propagation loop is iterating
+        # (cancel_propagate_in_video needs only the global lock, so
+        # cancellation is never blocked)
+        with session["lock"]:
+            for frame_idx, obj_ids, masks in self.predictor.propagate_in_video(
+                state, start_frame_idx=start_frame_index
+            ):
+                if session["canceled"]:
+                    return
+                yield self._frame_response(frame_idx, obj_ids, masks)
 
     def cancel_propagate_in_video(self, session_id: str) -> bool:
         with self._lock:

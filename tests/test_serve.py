@@ -90,3 +90,42 @@ def test_healthy(server):
     ) as resp:
         assert resp.status == 200
         assert json.loads(resp.read())["ok"] is True
+
+
+def test_propagation_blocks_same_session_mutation(tiny128_cfg, tiny128_params):
+    """A streamed propagation holds the SESSION lock: a concurrent
+    add_points on the same session must wait for the stream to finish
+    (mutating inference_state mid-stream re-indexes what the loop iterates);
+    cancellation is not blocked."""
+    import threading
+    import time
+
+    model = SAM2Model(tiny128_params, tiny128_cfg)
+    predictor = SAM2VideoPredictor(model, fill_hole_area=0)
+    api = InferenceAPI(predictor)
+
+    rng = np.random.default_rng(0)
+    video = (rng.random((3, 64, 64, 3)) * 255).astype(np.uint8)
+    sid = api.start_session(video)
+    api.add_points(sid, 0, 1, points=[[32.0, 32.0]], labels=[1])
+
+    stream = api.propagate_in_video(sid)
+    next(stream)  # stream open: session lock held
+
+    events = []
+
+    def mutate():
+        api.add_points(sid, 0, 2, points=[[10.0, 10.0]], labels=[1])
+        events.append("mutated")
+
+    t = threading.Thread(target=mutate)
+    t.start()
+    time.sleep(0.5)
+    assert events == [], "mutation ran while the stream held the session"
+    # cancel is NOT blocked by the running stream
+    assert api.cancel_propagate_in_video(sid)
+    # the canceled stream terminates, releasing the session lock
+    assert list(stream) == []
+    t.join(timeout=60)
+    assert events == ["mutated"]
+    api.close_session(sid)

@@ -181,3 +181,60 @@ def test_jpeg_dir_numeric_suffix_ordering(tmp_path):
     Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(d / "cover.jpg")
     with pytest.raises(RuntimeError, match="frame number"):
         _load_jpeg_dir(str(d), 8)
+
+
+def test_image_predict_multi_box_keeps_all_masks(tiny128_cfg, tiny128_params):
+    """predict() mirrors the reference's squeeze(0) (:451-454): two boxes
+    return two mask sets; a single prompt drops the leading axis. Also:
+    set_image_batch accepts heterogeneous image sizes (per-image resize
+    before stacking, like SAM2Transforms.forward_batch)."""
+    from sam2_opt_tpu.models.model import SAM2Model
+    from sam2_opt_tpu.predictors.image import SAM2ImagePredictor
+
+    p = SAM2ImagePredictor(SAM2Model(tiny128_params, tiny128_cfg))
+    rng = np.random.default_rng(0)
+    img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    p.set_image(img)
+
+    boxes = np.array([[5, 5, 30, 30], [32, 32, 60, 60]], np.float32)
+    masks, ious, low = p.predict(box=boxes, multimask_output=False)
+    assert masks.shape[0] == 2 and masks.shape[-2:] == (64, 64)
+    assert ious.shape[0] == 2 and low.shape[0] == 2
+
+    m1, i1, l1 = p.predict(box=boxes[:1], multimask_output=False)
+    assert m1.ndim == 3  # single prompt: leading axis squeezed
+
+    # heterogeneous batch sizes
+    img2 = (rng.random((48, 96, 3)) * 255).astype(np.uint8)
+    p.set_image_batch([img, img2])
+    bm, bi, bl = p.predict_batch(
+        point_coords_batch=[np.array([[10.0, 10.0]]), np.array([[20.0, 20.0]])],
+        point_labels_batch=[np.array([1]), np.array([1])],
+        multimask_output=False,
+    )
+    assert bm[0].shape[-2:] == (64, 64) and bm[1].shape[-2:] == (48, 96)
+
+
+def test_sprinkle_components_use_original_mask():
+    """Sprinkle suppression evaluates components of the ORIGINAL logits
+    (reference transforms.py:86-106 builds mask_flat once): a small island
+    adjacent to a filled hole must still be suppressed."""
+    from sam2_opt_tpu.ops.connected_components import fill_holes_and_sprinkles
+
+    m = np.full((1, 16, 16), -5.0, np.float32)
+    m[0, 4:8, 4:8] = 5.0        # big foreground blob (16 px)
+    m[0, 5:7, 5:7] = -5.0       # 4-px hole inside it
+    m[0, 5:7, 8:10] = 5.0       # 4-px island touching the blob? no: gap
+    # place a separate small island adjacent to (but separated from) the hole
+    m2 = np.full((1, 16, 16), -5.0, np.float32)
+    m2[0, 4, 4:6] = 5.0         # 2-px island
+    m2[0, 4, 6] = -5.0          # 1-px "hole" column adjacent (background)
+    m2[0, 4, 7:9] = 5.0         # another 2-px island
+    # hole fill (area<=1) turns column 6 positive, which would BRIDGE the two
+    # islands into one 5-px component if sprinkles were computed after filling
+    out = np.asarray(fill_holes_and_sprinkles(
+        __import__("jax.numpy", fromlist=["x"]).asarray(m2),
+        mask_threshold=0.0, max_hole_area=1.0, max_sprinkle_area=3.0,
+    ))
+    # both original 2-px islands are suppressed despite the filled bridge
+    assert (out[0, 4, 4:6] < 0).all() and (out[0, 4, 7:9] < 0).all()

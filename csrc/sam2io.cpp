@@ -50,9 +50,14 @@ int decode_jpeg_resize(const char* path, uint8_t* out, int out_h, int out_w) {
 
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
+  // volatile malloc'd buffer, not std::vector: a longjmp from the libjpeg
+  // error handler would skip a vector's destructor (UB + leak per corrupt
+  // JPEG); a volatile pointer survives longjmp and is freed on both paths
+  uint8_t* volatile imgbuf = nullptr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = jpeg_error_exit;
   if (setjmp(jerr.setjmp_buffer)) {
+    free(imgbuf);
     jpeg_destroy_decompress(&cinfo);
     fclose(f);
     return -2;
@@ -74,14 +79,20 @@ int decode_jpeg_resize(const char* path, uint8_t* out, int out_h, int out_w) {
 
   jpeg_start_decompress(&cinfo);
   const int w = cinfo.output_width, h = cinfo.output_height;
-  std::vector<uint8_t> img((size_t)w * h * 3);
+  imgbuf = (uint8_t*)malloc((size_t)w * h * 3);
+  if (!imgbuf) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return -3;
+  }
   while (cinfo.output_scanline < cinfo.output_height) {
-    uint8_t* row = img.data() + (size_t)cinfo.output_scanline * w * 3;
+    uint8_t* row = imgbuf + (size_t)cinfo.output_scanline * w * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
   fclose(f);
+  const uint8_t* img = imgbuf;  // decode done: no more longjmp risk
 
   // bilinear resize (half-pixel centers) img[h,w,3] -> out[out_h,out_w,3]
   const float sy = (float)h / out_h, sx = (float)w / out_w;
@@ -108,6 +119,7 @@ int decode_jpeg_resize(const char* path, uint8_t* out, int out_h, int out_w) {
       }
     }
   }
+  free(imgbuf);
   return 0;
 }
 

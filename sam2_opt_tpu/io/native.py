@@ -128,9 +128,9 @@ def rle_encode(mask: np.ndarray) -> Optional[dict]:
     )
     if n < 0:
         return None
+    # encoder invariant: counts always starts with a background run
+    # (possibly 0 when the first pixel is foreground)
     counts = buf[:n].tolist()
-    if counts and counts[0] != 0 and mask.flat[0]:
-        pass  # encoder always starts with a background run (may be 0)
     return {"size": [h, w], "counts": counts}
 
 

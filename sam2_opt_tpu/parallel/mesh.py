@@ -35,17 +35,19 @@ def data_sharded(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
 
-def _tp_spec_for_param(path: str, value) -> P:
+def _tp_spec_for_param(path: str, value, tp: int) -> P:
     """Tensor-parallel partition rule: shard the output dim of the big MLP /
-    qkv linear weights over "model"; everything else replicated.
+    qkv linear weights over "model"; everything else replicated. A dim is
+    sharded only when divisible by the ACTUAL model-axis size `tp` —
+    an uneven NamedSharding would raise at device_put.
 
     This covers the Hiera trunk (the parameter-dominant part); attention
     outputs are re-reduced by GSPMD automatically.
     """
-    if value.ndim == 2 and value.shape[-1] >= 1024 and value.shape[-1] % 2 == 0:
+    if value.ndim == 2 and value.shape[-1] >= 1024 and value.shape[-1] % tp == 0:
         if any(k in path for k in ("mlp", "qkv", "linear1")):
             return P(None, "model")
-    if value.ndim == 1 and value.shape[0] >= 1024:
+    if value.ndim == 1 and value.shape[0] >= 1024 and value.shape[0] % tp == 0:
         if any(k in path for k in ("mlp", "qkv", "linear1")):
             return P("model")
     return P()
@@ -54,12 +56,13 @@ def _tp_spec_for_param(path: str, value) -> P:
 def param_shardings(mesh: Mesh, params) -> dict:
     """NamedSharding tree for a params pytree under the TP rule."""
 
+    tp = mesh.shape["model"]
     flat = jax.tree_util.tree_flatten_with_path(params)
     leaves, treedef = jax.tree_util.tree_flatten(params)
     specs = []
     for path, leaf in flat[0]:
         key = jax.tree_util.keystr(path)
-        specs.append(NamedSharding(mesh, _tp_spec_for_param(key, leaf)))
+        specs.append(NamedSharding(mesh, _tp_spec_for_param(key, leaf, tp)))
     return jax.tree_util.tree_unflatten(treedef, specs)
 
 

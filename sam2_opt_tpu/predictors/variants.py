@@ -108,6 +108,9 @@ class SAM2VideoPredictorLegacy(SAM2VideoPredictor):
     def reset_state(self, inference_state):
         super().reset_state(inference_state)
         inference_state["tracking_has_started"] = False
+        # reference clears the DRM-promotion bookkeeping on reset
+        # (sam2_video_predictor_dam4sam.py:1057,1071)
+        inference_state.get("adds_in_drm_per_obj", {}).clear()
 
 
 class SAM2VideoPredictorDAM4SAM(SAM2VideoPredictor):
@@ -158,6 +161,16 @@ class SAM2VideoPredictorDAM4SAM(SAM2VideoPredictor):
         RAM frames are sorted by frame index and enumerated after them, so
         the temporal embedding index is `total - t_pos - 1` with `total` the
         padded slot count (faithful to the reference arithmetic).
+
+        Two reference quirks are preserved DELIBERATELY (cross-validated by
+        tests/test_dam4sam_parity.py against the reference running on torch):
+        - the RAM walk only looks BACKWARD in time regardless of `reverse`
+          (reference :640-676 decrements unconditionally; only the obj-ptr
+          windows honor track_in_reverse, :720-732) — DAM4SAM is a forward
+          tracker and reverse passes see DRM-only memory, same as upstream;
+        - a RAM entry at frame index 0 shares sort key 0 with DRM entries and
+          walked-off (None) sentinels still occupy enumeration slots
+          (reference :684-694 assigns t_pos before skipping padding frames).
         """
         from sam2_opt_tpu.models import video_core as vc
 

@@ -582,7 +582,23 @@ class VOSDataset:
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         video = self.raw.get_video(idx % len(self.raw))
-        sampled = self.sampler.sample(len(video.frames), self.rng)
+        # Tracked objects must be VISIBLE IN THE FIRST sampled frame — the
+        # rollout prompts frame 0 from GT, and an empty first-frame mask
+        # yields a bogus prompt. The reference resamples the frame window
+        # until the first frame has a target (vos_sampler.py:44-72).
+        for _retry in range(100):
+            sampled = self.sampler.sample(len(video.frames), self.rng)
+            segments = self._load_frame_segments(video, sampled.frame_indices)
+            visible_ids = sorted(
+                oid for oid, seg in segments[0].items() if np.any(seg)
+            )
+            if visible_ids:
+                break
+        else:
+            raise RuntimeError(
+                f"no visible objects in the first sampled frame of "
+                f"{video.video_name} after 100 retries"
+            )
         S = self.image_size
         images = np.stack(
             [_load_image(video.frames[i], S) for i in sampled.frame_indices]
@@ -591,8 +607,7 @@ class VOSDataset:
         N = self.max_num_objects
         masks = np.zeros((T, N, S, S), bool)
         obj_valid = np.zeros((N,), bool)
-        segments = self._load_frame_segments(video, sampled.frame_indices)
-        obj_ids = sorted({oid for seg in segments for oid in seg})
+        obj_ids = list(visible_ids)
         self.rng.shuffle(obj_ids)
         obj_ids = obj_ids[:N]
         for j, oid in enumerate(obj_ids):

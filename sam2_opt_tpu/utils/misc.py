@@ -90,7 +90,9 @@ class AsyncVideoFrameLoader:
 
         self.paths = list(paths)
         self.image_size = image_size
+        self.lookahead = max(int(lookahead), 1)
         self.frames: Dict[int, np.ndarray] = {}
+        self._consumed = -1  # highest index already returned to the consumer
         self.exception: Optional[BaseException] = None
         self._cv = threading.Condition()
         self._resize = _resize_uint8
@@ -107,9 +109,21 @@ class AsyncVideoFrameLoader:
     def _worker(self):
         try:
             for i in range(len(self.paths)):
+                # bounded lookahead: stay at most `lookahead` frames ahead of
+                # the consumer, evicting frames it has moved past — a 10k-
+                # frame video must not be fully resident
+                with self._cv:
+                    while (
+                        i - self._consumed > self.lookahead
+                        and self.exception is None
+                    ):
+                        self._cv.wait(timeout=60)
                 frame = self._decode(i)
                 with self._cv:
                     self.frames[i] = frame
+                    for k in [k for k in self.frames
+                              if k < self._consumed - 1]:
+                        del self.frames[k]
                     self._cv.notify_all()
         except BaseException as e:  # trampoline to the consumer (misc.py:125-149)
             with self._cv:
@@ -120,9 +134,16 @@ class AsyncVideoFrameLoader:
         return len(self.paths)
 
     def __getitem__(self, idx: int) -> np.ndarray:
+        if not 0 <= idx < len(self.paths):
+            raise IndexError(idx)
         with self._cv:
+            if idx < self._consumed - 1 and idx not in self.frames:
+                # evicted by the lookahead window: decode on demand
+                return self._decode(idx)
             while idx not in self.frames and self.exception is None:
                 self._cv.wait(timeout=60)
             if self.exception is not None:
                 raise self.exception
+            self._consumed = max(self._consumed, idx)
+            self._cv.notify_all()
             return self.frames[idx]

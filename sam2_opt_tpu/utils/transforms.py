@@ -70,6 +70,13 @@ class SAM2Transforms:
                     masks, self.mask_threshold, self.max_hole_area,
                     self.max_sprinkle_area,
                 )
-            except Exception:
-                pass  # reference skips postprocessing on kernel failure
+            except Exception as e:
+                # reference warns-and-skips on kernel failure
+                # (sam2/utils/transforms.py:87-117)
+                import warnings
+
+                warnings.warn(
+                    f"{e}\n\nSkipping the mask post-processing step due to "
+                    f"the error above."
+                )
         return resize_hw(masks, tuple(orig_hw), "bilinear")

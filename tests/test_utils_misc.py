@@ -238,3 +238,40 @@ def test_sprinkle_components_use_original_mask():
     ))
     # both original 2-px islands are suppressed despite the filled bridge
     assert (out[0, 4, 4:6] < 0).all() and (out[0, 4, 7:9] < 0).all()
+
+
+def test_async_loader_bounded_lookahead_and_bounds(tmp_path):
+    """The async loader keeps at most ~lookahead frames resident ahead of the
+    consumer (a long video must not be fully decoded into RAM), serves
+    evicted frames by on-demand decode, and raises IndexError out of range."""
+    import time
+
+    from PIL import Image
+
+    paths = []
+    for i in range(12):
+        p = tmp_path / f"{i:03d}.jpg"
+        Image.fromarray(np.full((8, 8, 3), i * 20, np.uint8)).save(p)
+        paths.append(str(p))
+
+    loader = AsyncVideoFrameLoader(paths, image_size=8, lookahead=3)
+    # without consumption the worker must stall near the lookahead bound
+    deadline = time.time() + 10
+    while time.time() < deadline and len(loader.frames) < 4:
+        time.sleep(0.05)
+    time.sleep(0.3)
+    assert len(loader.frames) <= 6, "worker decoded far past the lookahead"
+
+    # consuming in order lets it advance; values are the expected frames
+    for i in range(12):
+        f = loader[i]
+        assert abs(int(np.asarray(f).mean().round()) - min(i * 20, 255)) <= 1
+    # frames behind the consumer were evicted, but remain readable on demand
+    assert len(loader.frames) <= 6
+    f0 = loader[0]
+    assert int(np.asarray(f0).mean().round()) == 0
+
+    with pytest.raises(IndexError):
+        loader[12]
+    with pytest.raises(IndexError):
+        loader[-1]

@@ -56,7 +56,8 @@ def load_exported(path: str):
         return jexport.deserialize(f.read())
 
 
-def export_all(model, out_dir: str, dtype=jnp.bfloat16) -> Dict[str, str]:
+def export_all(model, out_dir: str, dtype=jnp.bfloat16,
+               ptr_cap: int = 0) -> Dict[str, str]:
     """Export the four compiled seams (encoder e2e, memory attention via a
     full conditioned track step, memory encoder, mask decode) with the
     parameters baked in — the moral equivalent of the reference's
@@ -83,16 +84,24 @@ def export_all(model, out_dir: str, dtype=jnp.bfloat16) -> Dict[str, str]:
     _export_fn(set_image_e2e, (jnp.zeros((1, S, S, 3), dtype),), path)
     out["set_image_e2e"] = path
 
-    # 2) conditioned track step (memory attention + heads + memory encoder)
+    # 2) conditioned track step (memory attention + heads + memory encoder).
+    # Index fields are batched [1, S]/[1, P] exactly like the production
+    # MemoryInput builders (predictors/video.py _gather_memory).
+    # `ptr_cap` sizes the pointer region: the default is the config cap,
+    # which covers single-cond-frame sessions; sessions with >= 2 past cond
+    # frames grow pointers in buckets of 8 at runtime — re-export with a
+    # larger ptr_cap to serve those shapes (one graph per bucket, the same
+    # way TRT profiles would be re-built).
+    P = ptr_cap or cfg.max_obj_ptrs_in_encoder
     mem = vc.MemoryInput(
         feats=tuple(jnp.zeros((1, g, g, cfg.mem_dim), jnp.bfloat16)
                     for _ in range(cfg.num_maskmem)),
-        tpos_idx=jnp.zeros((cfg.num_maskmem,), jnp.int32),
-        valid=jnp.zeros((cfg.num_maskmem,), bool),
+        tpos_idx=jnp.zeros((1, cfg.num_maskmem), jnp.int32),
+        valid=jnp.zeros((1, cfg.num_maskmem), bool),
         ptrs=tuple(jnp.zeros((1, cfg.hidden_dim), jnp.float32)
-                   for _ in range(cfg.max_obj_ptrs_in_encoder)),
-        ptr_pos=jnp.zeros((cfg.max_obj_ptrs_in_encoder,), jnp.float32),
-        ptr_valid=jnp.zeros((cfg.max_obj_ptrs_in_encoder,), bool),
+                   for _ in range(P)),
+        ptr_pos=jnp.zeros((1, P), jnp.float32),
+        ptr_valid=jnp.zeros((1, P), bool),
     )
 
     def track_cond(f0, f1, f2, mem):

@@ -73,7 +73,12 @@ def build_from_any(variant: str, checkpoint: Optional[str]):
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
-    if not argv or argv[0] not in ("convert", "inspect"):
+    if (
+        not argv
+        or argv[0] not in ("convert", "inspect")
+        or (argv[0] == "convert" and len(argv) < 3)
+        or (argv[0] == "inspect" and len(argv) < 2)
+    ):
         print(__doc__)
         return 1
     if argv[0] == "convert":
@@ -98,15 +103,13 @@ def _leaves(tree):
 
 
 def _flatten(tree):
-    import re
-
     import jax
+
+    from sam2_opt_tpu.utils.misc import keystr_to_dotted
 
     out = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        key = jax.tree_util.keystr(path)
-        parts = re.findall(r"\[([^\]]+)\]", key)
-        out[".".join(p.strip("'\"") for p in parts)] = leaf
+        out[keystr_to_dotted(jax.tree_util.keystr(path))] = leaf
     return out
 
 

@@ -19,8 +19,9 @@ import numpy as np
 
 
 def _keystr_to_name(key: str) -> str:
-    parts = re.findall(r"\[([^\]]+)\]", key)
-    return ".".join(p.strip("'\"") for p in parts)
+    from sam2_opt_tpu.utils.misc import keystr_to_dotted
+
+    return keystr_to_dotted(key)
 
 
 def names_matching(params, patterns: Sequence[str]) -> List[str]:
@@ -82,7 +83,13 @@ class CheckpointManager:
         return os.path.join(self.save_dir, f"checkpoint_{step}")
 
     def save(self, step: int, state: Dict):
-        """Atomic save: write to tmp dir, rename (reference trainer.py:363-380)."""
+        """Atomic save: write to tmp dir, rename (reference trainer.py:363-380).
+
+        Saving step S also deletes checkpoints with step > S: after restoring
+        an older step and retraining, higher-step checkpoints are stale
+        futures from the rolled-back timeline — keeping them would make the
+        step-ordered GC delete the FRESH saves and point resume
+        auto-discovery (latest_step) at pre-rollback state."""
         final = self._path(step)
         tmp = final + ".tmp"
         if os.path.exists(tmp):
@@ -92,6 +99,9 @@ class CheckpointManager:
         if os.path.exists(final):
             shutil.rmtree(final)
         os.rename(tmp, final)
+        for s in self.all_steps():
+            if s > step:
+                shutil.rmtree(self._path(s), ignore_errors=True)
         self._gc()
 
     def _gc(self):

@@ -67,8 +67,9 @@ def _param_names(params) -> List[str]:
 def _keystr_to_torch_name(key: str) -> str:
     """"['image_encoder']['trunk']['blocks'][3]['norm1']['weight']" ->
     "image_encoder.trunk.blocks.3.norm1.weight" (matches reference patterns)."""
-    parts = re.findall(r"\[([^\]]+)\]", key)
-    return ".".join(p.strip("'\"") for p in parts)
+    from sam2_opt_tpu.utils.misc import keystr_to_dotted
+
+    return keystr_to_dotted(key)
 
 
 def hiera_layer_id(name: str, num_layers: int) -> int:
@@ -103,25 +104,25 @@ def layer_decay_lr_scales(params, layer_decay: float, trunk_depth: int,
     return scales
 
 
-_NO_DECAY_SUFFIXES = ("bias", "gamma")
-_NO_DECAY_KEYWORDS = (
-    "norm", "pos_embed", "no_mem_embed", "no_mem_pos_enc", "no_obj_ptr",
-    "maskmem_tpos_enc", "no_obj_embed_spatial", "point_embeddings",
-    "not_a_point_embed", "no_mask_embed", "iou_token", "mask_tokens",
-    "obj_score_token", "positional_encoding_gaussian_matrix",
-)
-
-
 def default_weight_decay_mask(params):
-    """True = apply weight decay. Norm/bias/embedding params excluded,
-    matching the reference's gpt-style param grouping."""
+    """True = apply weight decay. Matches the reference MOSE recipe exactly
+    (sam2.1_hiera_b+_MOSE_finetune.yaml options.weight_decay): only
+    '*bias*' params and LayerNorm/LayerNorm2d WEIGHTS are excluded. In this
+    architecture every 1-D '.weight' is a LayerNorm scale (conv/linear
+    weights are >=2-D), which also covers LN modules at numeric Sequential
+    indices whose names carry no 'norm' keyword. Everything else — including
+    layer-scale gamma, pos_embed, and embedding tokens — IS decayed, like
+    the reference. The frozen PositionEmbeddingRandom gaussian matrix (a
+    torch BUFFER, never optimized there) is excluded too."""
 
-    def decide(path, _leaf):
+    def decide(path, leaf):
         name = _keystr_to_torch_name(jax.tree_util.keystr(path))
-        if name.endswith(_NO_DECAY_SUFFIXES):
+        if name.endswith("bias"):
             return False
-        if any(k in name for k in _NO_DECAY_KEYWORDS):
-            return False
+        if name.endswith("weight") and getattr(leaf, "ndim", 0) == 1:
+            return False  # LayerNorm / LayerNorm2d scale
+        if "positional_encoding_gaussian_matrix" in name:
+            return False  # buffer in torch, not a parameter
         return True
 
     flat = jax.tree_util.tree_flatten_with_path(params)
@@ -160,10 +161,13 @@ class ScheduledOptimizer:
                 trunk_depth,
             )
             if pattern_lr_overrides:
+                # SET semantics like the reference layer_decay_param_modifier
+                # overrides (pattern '*pos_embed*' -> value 1.0 REPLACES the
+                # decayed scale)
                 for name in list(scales):
-                    for pat, mult in pattern_lr_overrides.items():
+                    for pat, value in pattern_lr_overrides.items():
                         if fnmatch.fnmatch(name, pat):
-                            scales[name] *= mult
+                            scales[name] = value
             flat = jax.tree_util.tree_flatten_with_path(params)
             leaves = [
                 scales[_keystr_to_torch_name(jax.tree_util.keystr(p))]
@@ -206,17 +210,46 @@ class ScheduledOptimizer:
         return updates, state
 
 
-def build_optimizer(params, base_lr: float = 5e-6, trunk_lr_scale: float = None,
+def build_optimizer(params, base_lr: float = 5e-6,
+                    trunk_lr_scale: float = 0.6,
                     weight_decay: float = 0.1, grad_clip_norm: float = 0.1,
-                    layer_decay: float = 0.8, warmup_frac: float = 0.03,
+                    layer_decay: float = 0.9, warmup_frac: float = 0.03,
                     trunk_depth: int = 48) -> ScheduledOptimizer:
     """MOSE-finetune-style optimizer (reference
-    configs/sam2.1_training/sam2.1_hiera_b+_MOSE_finetune.yaml)."""
-    return ScheduledOptimizer(
+    configs/sam2.1_training/sam2.1_hiera_b+_MOSE_finetune.yaml:240-278):
+    cosine base_lr -> base_lr/10; image_encoder.* at vision lr
+    (trunk_lr_scale = vision_lr/base_lr = 3e-6/5e-6); LLRD 0.9 over the
+    trunk with the '*pos_embed*' -> 1.0 override; AdamW wd 0.1 except
+    biases + LayerNorm weights. (The short linear warmup has no yaml
+    counterpart; fvcore starts the cosine directly — warmup_frac=0
+    reproduces that exactly.)"""
+    opt = ScheduledOptimizer(
         params,
-        lr_schedule=warmup_cosine_schedule(base_lr, warmup_frac=warmup_frac),
+        lr_schedule=warmup_cosine_schedule(
+            base_lr, warmup_frac=warmup_frac, end=base_lr / 10.0
+        ),
         weight_decay=weight_decay,
         grad_clip_norm=grad_clip_norm,
         layer_decay=layer_decay,
         trunk_depth=trunk_depth,
+        pattern_lr_overrides={
+            "*pos_embed*": 1.0,
+            # torch buffer, never optimized in the reference
+            "*positional_encoding_gaussian_matrix*": 0.0,
+        },
     )
+    if trunk_lr_scale and trunk_lr_scale != 1.0 and opt.lr_scales is not None:
+        # separate vision lr for the image encoder (reference options.lr
+        # param_names 'image_encoder.*'), multiplied ON TOP of LLRD
+        flat = jax.tree_util.tree_flatten_with_path(opt.lr_scales)
+        leaves = []
+        for path, scale in flat[0]:
+            name = _keystr_to_torch_name(jax.tree_util.keystr(path))
+            leaves.append(
+                scale * trunk_lr_scale if name.startswith("image_encoder")
+                else scale
+            )
+        opt.lr_scales = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(opt.lr_scales), leaves
+        )
+    return opt

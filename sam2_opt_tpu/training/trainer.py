@@ -49,7 +49,7 @@ class TrainConfig:
     base_lr: float = 5e-6
     weight_decay: float = 0.1
     grad_clip_norm: float = 0.1
-    layer_decay: float = 0.8
+    layer_decay: float = 0.9  # reference MOSE yaml layer_decay_value
     num_correction_clicks: int = 1
     # initial-prompt sampling (reference model/sam2.py knobs)
     prob_to_use_pt_input: float = 0.5

@@ -12,6 +12,16 @@ from typing import Dict, Optional
 import numpy as np
 
 
+def keystr_to_dotted(key: str) -> str:
+    """jax keystr "['a']['b'][3]['weight']" -> torch-style "a.b.3.weight".
+    Single shared implementation (used by the optimizer's param patterns,
+    training checkpoint filtering, and the native checkpoint inspector)."""
+    import re
+
+    parts = re.findall(r"\[([^\]]+)\]", key)
+    return ".".join(p.strip("'\"") for p in parts)
+
+
 def mask_to_box(masks):
     """[B, 1, H, W] mask -> [B, 1, 4] xyxy box (reference misc.py:66-92)."""
     import jax.numpy as jnp

@@ -55,3 +55,23 @@ def test_jit_cache_lru_eviction():
     assert "k1" not in c and "k0" in c and len(c) == 3
     c.clear()
     assert len(c) == 0
+
+
+def test_export_all_four_seams(tmp_path, tiny128_cfg, tiny128_params):
+    """export_all produces all four serialized seams (the reference's ONNX
+    export set), including the conditioned track step whose MemoryInput must
+    use the production batched [1,S]/[1,P] index layout."""
+    import os
+
+    import jax.numpy as jnp
+
+    from sam2_opt_tpu.export.export_stablehlo import export_all
+    from sam2_opt_tpu.models.model import SAM2Model
+
+    m = SAM2Model(tiny128_params, tiny128_cfg)
+    out = export_all(m, str(tmp_path), dtype=jnp.float32)
+    assert sorted(out) == [
+        "memory_encoder", "predict_masks", "set_image_e2e", "track_step",
+    ]
+    for path in out.values():
+        assert os.path.getsize(path) > 1000

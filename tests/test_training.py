@@ -540,3 +540,71 @@ def test_error_click_fallback_is_negative_background():
         jax.random.PRNGKey(2), pred, gt
     )
     assert int(labels_fp[0, 0]) == 0
+
+
+def test_checkpoint_rollback_gc(tmp_path):
+    """Saving step S deletes stale checkpoints with step > S (rolled-back
+    timeline), so GC keeps the FRESH saves and resume auto-discovery never
+    returns pre-rollback state."""
+    from sam2_opt_tpu.training.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), keep=3)
+    state = {"w": np.zeros((2,), np.float32)}
+    for s in (3000, 4000, 5000):
+        mgr.save(s, state)
+    assert mgr.all_steps() == [3000, 4000, 5000]
+
+    # rollback: restore 3000, continue training, save 3100
+    assert mgr.restore(3000) is not None
+    mgr.save(3100, state)
+    assert mgr.latest_step() == 3100
+    assert all(s <= 3100 for s in mgr.all_steps())
+    mgr.save(3200, state)
+    assert mgr.latest_step() == 3200
+
+
+def test_optimizer_matches_mose_recipe(tiny128_cfg, tiny128_params):
+    """build_optimizer reproduces the reference MOSE yaml param grouping
+    (sam2.1_hiera_b+_MOSE_finetune.yaml:240-278): '*pos_embed*' trains at
+    full (vision) lr, image_encoder.* at vision lr = 0.6x base, the
+    PositionEmbeddingRandom gaussian matrix is frozen (torch buffer), and
+    weight decay excludes exactly biases + LayerNorm weights."""
+    from sam2_opt_tpu.training.optimizer import (
+        build_optimizer,
+        default_weight_decay_mask,
+    )
+
+    opt = build_optimizer(tiny128_params,
+                          trunk_depth=tiny128_cfg.trunk.depth)
+    flat = {}
+    import jax as _jax
+
+    from sam2_opt_tpu.utils.misc import keystr_to_dotted
+
+    for path, scale in _jax.tree_util.tree_flatten_with_path(opt.lr_scales)[0]:
+        flat[keystr_to_dotted(_jax.tree_util.keystr(path))] = float(scale)
+
+    depth = tiny128_cfg.trunk.depth
+    # pos_embed: LLRD override 1.0, times the vision-lr factor
+    assert flat["image_encoder.trunk.pos_embed"] == pytest.approx(0.6)
+    # deepest trunk block: 0.9 LLRD x 0.6 vision
+    last = f"image_encoder.trunk.blocks.{depth-1}.mlp.layers.0.weight"
+    assert flat[last] == pytest.approx(0.9 * 0.6)
+    # non-encoder params at full base lr
+    assert flat["sam_mask_decoder.iou_token.weight"] == pytest.approx(1.0)
+    # frozen buffer
+    gm = [k for k in flat if "positional_encoding_gaussian_matrix" in k]
+    assert gm and all(flat[k] == 0.0 for k in gm)
+    # lr schedule ends at base/10 like the reference cosine
+    assert opt.lr_at(0.999999) == pytest.approx(5e-6 / 10.0, rel=1e-2)
+
+    mask = {}
+    for path, m in _jax.tree_util.tree_flatten_with_path(
+        default_weight_decay_mask(tiny128_params)
+    )[0]:
+        mask[keystr_to_dotted(_jax.tree_util.keystr(path))] = bool(m)
+    assert mask["image_encoder.trunk.blocks.0.norm1.weight"] is False  # LN
+    assert mask["image_encoder.trunk.blocks.0.attn.qkv.bias"] is False
+    assert mask["image_encoder.trunk.blocks.0.attn.qkv.weight"] is True
+    assert mask["image_encoder.trunk.pos_embed"] is True        # decayed!
+    assert mask["sam_mask_decoder.iou_token.weight"] is True    # decayed!

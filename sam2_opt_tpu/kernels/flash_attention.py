@@ -540,8 +540,18 @@ def _is_batch_traced(x) -> bool:
         try:
             from jax.interpreters.batching import BatchTracer
         except Exception:
-            return False
+            # Fail CLOSED: if a jax upgrade moves BatchTracer, assume the
+            # call might be batched so the narrow (VMEM-safe) blocks apply.
+            # The cost of a wrong True is ~0.2 ms; a wrong False is a
+            # scoped-VMEM compile failure in training.
+            return True
     return isinstance(x, BatchTracer)
+
+
+def _wide_q_opt_in() -> bool:
+    import os
+
+    return os.environ.get("SAM2_TPU_WIDE_Q_BLOCK", "0") == "1"
 
 
 def _default_blocks(q, k, rope: bool, block_q, block_k):
@@ -551,27 +561,26 @@ def _default_blocks(q, k, rope: bool, block_q, block_k):
     physically batched call.
 
     Defaults autotuned on v5e (tools/tune_flash_blocks.py):
-    - plain path (1024, 1024): streams kv from HBM 4x instead of 16x for
-      the memory-attention shapes -> 5.5 ms vs 7.7 ms for the 4-layer
-      stack pre-fusion;
-    - rope-fused CROSS path (2048, 1024): the kernel carries cos/sin blocks
-      but no separate rotated-K tensor, leaving VMEM headroom for
-      double-width q blocks — 3.86 ms vs 4.07 ms at (1024, 1024) for the
-      4-layer stack. Restricted to long-kv shapes: at Sq == Skv == 4096
-      (the rope SELF-attention) XLA may place an operand in VMEM depending
-      on the surrounding graph, and (2048, 1024) then overflows the 16M
-      scoped limit by ~1M (observed in the full track-step graph).
+    - (1024, 1024): streams kv from HBM 4x instead of 16x for the
+      memory-attention shapes -> 5.5 ms vs 7.7 ms for the 4-layer stack
+      pre-fusion, and fits scoped VMEM for every shape/graph combination
+      measured.
+    - `SAM2_TPU_WIDE_Q_BLOCK=1` (opt-in): double-width (2048, 1024) q blocks
+      on the single-sequence long-kv rope CROSS shape — 3.86 ms vs 4.07 ms
+      for the 4-layer stack in isolation. NOT the default because whether it
+      fits depends on XLA's operand placement AROUND the kernel: when the
+      surrounding graph stages an operand in scoped VMEM the call overflows
+      the 16M limit (observed 19.13M in the full video step, 17.96M at B=8),
+      and that placement shifts with unrelated graph edits. A ~0.2 ms win is
+      not worth a graph-dependent compile failure.
     Larger blocks always overflow at d_pad=256, as do these sizes for
     4-byte (fp32) inputs — those get half-size q blocks.
     """
     if block_q is None:
         if (rope and k.shape[-2] >= 8192
                 and q.shape[0] * q.shape[1] == 1
-                and not _is_batch_traced(q)):
-            # double-width q blocks only for the single-sequence cross shape:
-            # with a leading batch (object-batched tracking, B=8) XLA keeps
-            # batched operands in scoped VMEM around the call and (2048,1024)
-            # overflows the 16M limit (observed: 17.96M at B=8, Skv=29696).
+                and not _is_batch_traced(q)
+                and _wide_q_opt_in()):
             # A vmapped call (the trainer's video-batch rollout) is batched
             # physically even though its traced shape reads B=H=1, hence the
             # BatchTracer guard.

@@ -45,7 +45,12 @@ class InferenceAPI:
             session_id = str(uuid.uuid4())
             state = self.predictor.init_state(video_path)
             self.session_states[session_id] = {
-                "canceled": False,
+                # monotone cancellation generation: each stream captures the
+                # value at start and aborts when it changes. A cancel is an
+                # increment, never a reset — so cancel-then-restart cannot
+                # overwrite a cancel aimed at the still-running old stream
+                # (which holds the session lock until it observes the bump).
+                "cancel_gen": 0,
                 "state": state,
                 # plain Lock (not RLock): held across a whole streamed
                 # propagation by the handler thread; a plain Lock may be
@@ -131,7 +136,7 @@ class InferenceAPI:
         masks per frame; cancellable via cancel_propagate_in_video."""
         with self._lock:
             session = self._get_session(session_id)
-            session["canceled"] = False
+            my_gen = session["cancel_gen"]
             state = session["state"]
         # hold the SESSION lock for the entire stream: concurrent
         # add_points/add_mask/remove_object on the same session would
@@ -142,13 +147,13 @@ class InferenceAPI:
             for frame_idx, obj_ids, masks in self.predictor.propagate_in_video(
                 state, start_frame_idx=start_frame_index
             ):
-                if session["canceled"]:
+                if session["cancel_gen"] != my_gen:
                     return
                 yield self._frame_response(frame_idx, obj_ids, masks)
 
     def cancel_propagate_in_video(self, session_id: str) -> bool:
         with self._lock:
-            self._get_session(session_id)["canceled"] = True
+            self._get_session(session_id)["cancel_gen"] += 1
             return True
 
     # ------------------------------------------------------------------ #

@@ -588,11 +588,16 @@ class VOSDataset:
         # until the first frame has a target (vos_sampler.py:44-72).
         for _retry in range(100):
             sampled = self.sampler.sample(len(video.frames), self.rng)
-            segments = self._load_frame_segments(video, sampled.frame_indices)
+            # only the FIRST frame's segments decide acceptance — decode just
+            # that one per retry, and the remaining T-1 once after accepting
+            first = self._load_frame_segments(video, sampled.frame_indices[:1])
             visible_ids = sorted(
-                oid for oid, seg in segments[0].items() if np.any(seg)
+                oid for oid, seg in first[0].items() if np.any(seg)
             )
             if visible_ids:
+                segments = first + self._load_frame_segments(
+                    video, sampled.frame_indices[1:]
+                )
                 break
         else:
             raise RuntimeError(

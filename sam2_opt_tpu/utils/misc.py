@@ -118,7 +118,8 @@ class AsyncVideoFrameLoader:
 
     def _worker(self):
         try:
-            for i in range(len(self.paths)):
+            i, n = 0, len(self.paths)
+            while i < n:
                 # bounded lookahead: stay at most `lookahead` frames ahead of
                 # the consumer, evicting frames it has moved past — a 10k-
                 # frame video must not be fully resident
@@ -128,6 +129,12 @@ class AsyncVideoFrameLoader:
                         and self.exception is None
                     ):
                         self._cv.wait(timeout=60)
+                    # a consumer seek may have moved the window PAST i (the
+                    # skipped frames are decoded on demand by the consumer):
+                    # follow it instead of grinding through stale frames
+                    i = max(i, self._consumed + 1)
+                    if i >= n:
+                        break
                 frame = self._decode(i)
                 with self._cv:
                     self.frames[i] = frame
@@ -135,6 +142,7 @@ class AsyncVideoFrameLoader:
                               if k < self._consumed - 1]:
                         del self.frames[k]
                     self._cv.notify_all()
+                i += 1
         except BaseException as e:  # trampoline to the consumer (misc.py:125-149)
             with self._cv:
                 self.exception = e
@@ -147,9 +155,27 @@ class AsyncVideoFrameLoader:
         if not 0 <= idx < len(self.paths):
             raise IndexError(idx)
         with self._cv:
-            if idx < self._consumed - 1 and idx not in self.frames:
-                # evicted by the lookahead window: decode on demand
-                return self._decode(idx)
+            if self.exception is not None:
+                raise self.exception
+            if idx in self.frames:
+                self._consumed = max(self._consumed, idx)
+                self._cv.notify_all()
+                return self.frames[idx]
+            # Not prefetched. Two on-demand cases, both decoded here (outside
+            # the lock) so the worker keeps streaming:
+            #  - behind the window (evicted / skipped by an earlier seek);
+            #  - a forward SEEK beyond the prefetch window — waiting would
+            #    deadlock: the worker parks until `_consumed` advances, and
+            #    `_consumed` only advances when a frame is returned. Advance
+            #    the window to the seek target so the worker follows.
+            on_demand = (idx <= self._consumed
+                         or idx - self._consumed > self.lookahead)
+            if on_demand:
+                self._consumed = max(self._consumed, idx)
+                self._cv.notify_all()
+        if on_demand:
+            return self._decode(idx)
+        with self._cv:
             while idx not in self.frames and self.exception is None:
                 self._cv.wait(timeout=60)
             if self.exception is not None:

@@ -488,12 +488,15 @@ def test_flash_rope_fully_masked_rows_output_zero():
     assert float(jnp.max(jnp.abs(out[1]))) > 0.0
 
 
-def test_wide_block_gate_sees_vmap():
-    """The (2048, 1024) rope-block fast path must not engage under jax.vmap:
-    the traced shape reads B=H=1 but the physical pallas operands carry the
-    vmap batch, recreating the B=8 scoped-VMEM overflow the gate exists to
-    prevent. _default_blocks runs outside the jit wrapper precisely so it can
-    see the BatchTracer."""
+def test_wide_block_gate_sees_vmap(monkeypatch):
+    """The opt-in (2048, 1024) rope-block fast path must not engage under
+    jax.vmap even when SAM2_TPU_WIDE_Q_BLOCK=1: the traced shape reads B=H=1
+    but the physical pallas operands carry the vmap batch, recreating the
+    B=8 scoped-VMEM overflow the gate exists to prevent. _default_blocks
+    runs outside the jit wrapper precisely so it can see the BatchTracer.
+    Without the env opt-in the default is (1024, 1024) everywhere (wide
+    blocks only fit when XLA happens not to stage operands in scoped VMEM
+    around the kernel — not a property a default may rely on)."""
     from sam2_opt_tpu.kernels.flash_attention import (
         _default_blocks,
         _is_batch_traced,
@@ -501,6 +504,12 @@ def test_wide_block_gate_sees_vmap():
 
     q = jnp.zeros((1, 1, 4096, 256), jnp.bfloat16)
     k = jnp.zeros((1, 1, 8192, 256), jnp.bfloat16)
+
+    # default (no opt-in): safe narrow blocks even on the cross shape
+    bq_d, bk_d = _default_blocks(q, k, True, None, None)
+    assert (bq_d, bk_d) == (1024, 1024)
+
+    monkeypatch.setenv("SAM2_TPU_WIDE_Q_BLOCK", "1")
 
     # concrete (non-vmapped) single-sequence cross shape: wide blocks
     bq, bk = _default_blocks(q, k, True, None, None)

@@ -129,3 +129,48 @@ def test_propagation_blocks_same_session_mutation(tiny128_cfg, tiny128_params):
     t.join(timeout=60)
     assert events == ["mutated"]
     api.close_session(sid)
+
+
+def test_cancel_survives_restart(tiny128_cfg, tiny128_params):
+    """Cancel-then-restart: the cancel aimed at the in-flight stream must
+    stop it even though a NEW stream starts before the old one observes the
+    cancel (regression: the new stream used to reset the shared `canceled`
+    flag, so the old stream ran the whole video while holding the session
+    lock)."""
+    import threading
+    import time
+
+    model = SAM2Model(tiny128_params, tiny128_cfg)
+    predictor = SAM2VideoPredictor(model, fill_hole_area=0)
+    api = InferenceAPI(predictor)
+
+    rng = np.random.default_rng(0)
+    video = (rng.random((4, 64, 64, 3)) * 255).astype(np.uint8)
+    sid = api.start_session(video)
+    api.add_points(sid, 0, 1, points=[[32.0, 32.0]], labels=[1])
+
+    stream_a = api.propagate_in_video(sid)
+    next(stream_a)  # A holds the session lock
+
+    assert api.cancel_propagate_in_video(sid)
+
+    # restart BEFORE A has observed the cancel; B blocks on the session lock
+    b_frames = []
+
+    def run_b():
+        for frame in api.propagate_in_video(sid):
+            b_frames.append(frame["frameIndex"])
+
+    t = threading.Thread(target=run_b)
+    t.start()
+    time.sleep(0.2)
+
+    # A terminates at its next frame despite B's restart...
+    t0 = time.time()
+    assert list(stream_a) == []
+    assert time.time() - t0 < 30
+    # ...and B (started after the cancel) streams the full video
+    t.join(timeout=120)
+    assert not t.is_alive()
+    assert b_frames, "restarted stream was wrongly canceled"
+    api.close_session(sid)

@@ -275,3 +275,32 @@ def test_async_loader_bounded_lookahead_and_bounds(tmp_path):
         loader[12]
     with pytest.raises(IndexError):
         loader[-1]
+
+
+def test_async_loader_forward_seek_no_deadlock(tmp_path):
+    """Requesting a frame beyond the prefetch window is a SEEK, not a
+    deadlock: the consumer gets the frame on demand and the worker follows
+    the moved window (regression: both sides used to wait on each other
+    forever — the worker for `_consumed` to advance, the consumer for the
+    out-of-window frame to appear)."""
+    import time
+
+    from PIL import Image
+
+    paths = []
+    for i in range(12):
+        p = tmp_path / f"{i:03d}.jpg"
+        Image.fromarray(np.full((8, 8, 3), i * 20, np.uint8)).save(p)
+        paths.append(str(p))
+
+    loader = AsyncVideoFrameLoader(paths, image_size=8, lookahead=3)
+    t0 = time.time()
+    f9 = loader[9]  # far beyond the fresh loader's window [0..3]
+    assert time.time() - t0 < 30, "forward seek hung"
+    assert abs(int(np.asarray(f9).mean().round()) - 180) <= 1
+    # the window followed the seek: subsequent frames stream normally
+    f10 = loader[10]
+    assert abs(int(np.asarray(f10).mean().round()) - 200) <= 1
+    # backward reads (skipped by the seek) decode on demand
+    f2 = loader[2]
+    assert abs(int(np.asarray(f2).mean().round()) - 40) <= 1

@@ -59,9 +59,18 @@ class SAM2VideoPredictor:
         clear_non_cond_mem_around_input: bool = False,
         add_all_frames_to_correct_as_cond: bool = False,
         sync_per_frame: Optional[bool] = None,
+        mesh=None,
         **kwargs,
     ):
         self.model = sam_model
+        if mesh is not None:
+            # Multi-chip SPMD video inference (beyond reference parity — the
+            # reference is single-GPU): params follow the TP rule
+            # (parallel/mesh.py) and the object-batched tracking step shards
+            # objects over the "data" axis (see _track_jit "cond"), so
+            # memory attention + SAM heads + memory encoder run
+            # object-parallel with XLA-inserted collectives.
+            self.model.shard(mesh)
         self.fill_hole_area = fill_hole_area
         self.non_overlap_masks = non_overlap_masks
         self.clear_non_cond_mem_around_input = clear_non_cond_mem_around_input
@@ -767,6 +776,8 @@ class SAM2VideoPredictor:
                     keep_multimasks=keep_mm and static["multimask"],
                 )
         elif kind == "cond":
+            mesh = self.model.mesh  # shard() clears _jit_fns, so re-traced
+
             def fn(p, feats, mem, coords, labels, mask_inputs, prev_logits):
                 B = mem.tpos_idx.shape[0]
                 f0, f1, f2 = feats
@@ -777,6 +788,19 @@ class SAM2VideoPredictor:
                     f0 = jnp.repeat(f0, B, axis=0)
                     f1 = jnp.repeat(f1, B, axis=0)
                     f2 = jnp.repeat(f2, B, axis=0)
+                if mesh is not None and B % mesh.shape["data"] == 0:
+                    # object-DP over the mesh: GSPMD propagates this
+                    # constraint through memory attention / SAM heads /
+                    # memory encoder
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    sh = NamedSharding(
+                        mesh, PartitionSpec("data", None, None, None)
+                    )
+                    f0, f1, f2 = (
+                        jax.lax.with_sharding_constraint(f, sh)
+                        for f in (f0, f1, f2)
+                    )
                 return vc.track_step_conditioned(
                     p, cfg, (f0, f1, f2), mem, coords, labels, prev_logits,
                     multimask_output=static["multimask"],

@@ -167,3 +167,53 @@ def test_image_predictor_on_mesh(tiny128_cfg, tiny128_params, mesh8):
                                    rtol=1e-4, atol=1e-4)
         agree = (np.asarray(rm) > 0) == (np.asarray(gm) > 0)
         assert agree.mean() > 0.999
+
+
+def test_video_predictor_object_dp_tp_on_mesh(tiny128_cfg, tiny128_params, mesh8):
+    """SAM2VideoPredictor(mesh=...): multi-object tracking with objects
+    sharded over the "data" axis and TP-sharded params on the "model" axis
+    must match the single-device predictor (multi-chip SPMD video inference,
+    beyond reference parity). Exercises the full batched track step — memory
+    attention, SAM heads, memory encoder — under DP x TP."""
+    from sam2_opt_tpu.models.model import SAM2Model
+    from sam2_opt_tpu.predictors.video import SAM2VideoPredictor
+
+    cfg = tiny128_cfg
+    rng = np.random.default_rng(7)
+    T = 3
+    video = (rng.random((T, 96, 128, 3)) * 255).astype(np.uint8)
+    # 4 objects = one object per "data" row of the 4x2 mesh
+    prompts = {1: [30.0, 40.0], 2: [90.0, 30.0], 3: [60.0, 70.0],
+               4: [110.0, 80.0]}
+
+    def run(predictor):
+        state = predictor.init_state(video)
+        for oid, pt in prompts.items():
+            predictor.add_new_points_or_box(
+                state, 0, oid, points=np.array([pt], np.float32),
+                labels=np.array([1], np.int32),
+            )
+        out = {}
+        for fi, obj_ids, masks in predictor.propagate_in_video(state):
+            out[fi] = np.asarray(masks)
+        return out
+
+    ref_p = SAM2VideoPredictor(SAM2Model(tiny128_params, cfg),
+                               fill_hole_area=0)
+    ref = run(ref_p)
+
+    mesh_p = SAM2VideoPredictor(
+        SAM2Model(jax.tree_util.tree_map(jnp.copy, tiny128_params), cfg),
+        fill_hole_area=0, mesh=mesh8,
+    )
+    assert mesh_p.model.mesh is mesh8
+    # params actually landed TP-sharded
+    leaves = jax.tree_util.tree_leaves(mesh_p.model.params)
+    assert any(not leaf.sharding.is_fully_replicated for leaf in leaves)
+    got = run(mesh_p)
+
+    assert ref.keys() == got.keys()
+    for fi in ref:
+        assert ref[fi].shape == got[fi].shape  # [4, 1, H, W]
+        agree = (ref[fi] > 0) == (got[fi] > 0)
+        assert agree.mean() > 0.999, f"frame {fi}: {agree.mean()}"

@@ -111,11 +111,22 @@ class _ScoreVideo:
                 # palette layout: the scorer already keys by object id
                 iou_by_obj.update(iou)
                 f_by_obj.update(boundary_f)
-            else:
+            elif iou:
                 (iou_val,) = iou.values()
                 (f_val,) = boundary_f.values()
                 iou_by_obj[track.obj_id] = iou_val
                 f_by_obj[track.obj_id] = f_val
+            else:
+                # a track with no non-empty GT in the scored frames (e.g.
+                # visible only in the skipped first/last annotated frame, or
+                # <= 2 annotated frames): nothing to score — skip the object
+                # rather than aborting the whole benchmark run
+                import warnings
+
+                warnings.warn(
+                    f"{video}/{track.obj_id}: no non-empty GT frames to "
+                    "score; skipping object"
+                )
         return video, iou_by_obj, f_by_obj
 
 

@@ -22,11 +22,20 @@ def main():
         "--pred_root", required=True,
         help="Path to a similar structure of predicted masks",
     )
+    def _str2bool(v: str) -> bool:
+        # argparse type=bool treats any non-empty string (incl. "False") as
+        # True; parse the usual spellings instead
+        if v.lower() in ("1", "true", "yes", "y"):
+            return True
+        if v.lower() in ("0", "false", "no", "n"):
+            return False
+        raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+
     parser.add_argument("--num_processes", default=16, type=int)
-    parser.add_argument("--verbose", default=True, type=bool)
+    parser.add_argument("--verbose", default=True, type=_str2bool)
     parser.add_argument(
         "--strict", help="whether to require all gt videos predicted",
-        default=True, type=bool,
+        default=True, type=_str2bool,
     )
     parser.add_argument(
         "--do_not_skip_first_and_last_frame",

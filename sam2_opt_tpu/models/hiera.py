@@ -195,10 +195,14 @@ def _use_fused_mlp() -> bool:
 def _block_mlp(p, x):
     """norm2 + 2-layer GELU MLP + residual, with the optional fused route."""
     xn = ops.layer_norm(p["norm2"], x, eps=1e-6)
-    if x.dtype == jnp.bfloat16 and _use_fused_mlp():
+    m = p["mlp"]["layers"]
+    # the fused kernel reads raw bf16 weights — int8-quantized layers
+    # ({w_int8, w_scale} in place of weight) stay on ops.mlp, which
+    # dispatches through the quantized linear
+    if (x.dtype == jnp.bfloat16 and _use_fused_mlp()
+            and "weight" in m[0] and "weight" in m[1]):
         from sam2_opt_tpu.kernels.fused_mlp import fused_mlp
 
-        m = p["mlp"]["layers"]
         return x + fused_mlp(
             xn, m[0]["weight"], m[0]["bias"], m[1]["weight"], m[1]["bias"],
             fast_act=True,

@@ -151,9 +151,13 @@ class SAM2Model:
                 collect_activation_scales,
             )
 
+            # default cap 32 (matching quantize_model): activation-scale
+            # collection runs the encoder EAGERLY per image (the shim reads
+            # per-linear maxima on host), so the dataset class's 2000-image
+            # default would turn speedup("int8") into an hours-long startup
             ds = ImageEncodeCalibratorDataset(
                 calib_dir, image_size=self.cfg.image_size,
-                **({"max_images": max_images} if max_images else {}),
+                max_images=max_images if max_images else 32,
             )
             act_scales = collect_activation_scales(
                 self.params, self.cfg, ds.batches(), pattern=pattern

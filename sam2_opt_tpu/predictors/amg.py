@@ -74,11 +74,11 @@ class SAM2AutomaticMaskGenerator:
     @classmethod
     def from_pretrained(cls, model_id: str, **kwargs) -> "SAM2AutomaticMaskGenerator":
         """HuggingFace-hub loader (reference automatic_mask_generator.py:152-171).
-        Constructor kwargs pass through; model-build kwargs are consumed by
-        build_sam2_hf."""
+        Like the reference, kwargs flow to BOTH build_sam2_hf and the
+        constructor (each consumes what it knows and tolerates the rest)."""
         from sam2_opt_tpu.build_sam import build_sam2_hf
 
-        model = build_sam2_hf(model_id)
+        model = build_sam2_hf(model_id, **kwargs)
         return cls(model, **kwargs)
 
     # ------------------------------------------------------------------ #

@@ -62,10 +62,11 @@ class SAM2ImagePredictor:
 
     @classmethod
     def from_pretrained(cls, model_id: str, **kwargs) -> "SAM2ImagePredictor":
-        """HF-hub loader (reference sam2_image_predictor.py:74-89)."""
+        """HF-hub loader (reference sam2_image_predictor.py:74-89); kwargs
+        flow to both build_sam2_hf and the constructor like the reference."""
         from sam2_opt_tpu.build_sam import build_sam2_hf
 
-        return cls(build_sam2_hf(model_id), **kwargs)
+        return cls(build_sam2_hf(model_id, **kwargs), **kwargs)
 
     # ------------------------------------------------------------------ #
     # speedup / backend seam (reference sam2_image_predictor.py:94-138)

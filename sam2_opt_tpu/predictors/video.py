@@ -117,11 +117,13 @@ class SAM2VideoPredictor:
 
     @classmethod
     def from_pretrained(cls, model_id: str, **kwargs) -> "SAM2VideoPredictor":
-        """HF-hub loader (reference sam2_video_predictor_official.py:207-222)."""
+        """HF-hub loader (reference sam2_video_predictor_official.py:207-222);
+        kwargs flow to both build_sam2_hf and the constructor like the
+        reference."""
         from sam2_opt_tpu.build_sam import build_sam2_hf
 
         kwargs.setdefault("fill_hole_area", 8)
-        return cls(build_sam2_hf(model_id), **kwargs)
+        return cls(build_sam2_hf(model_id, **kwargs), **kwargs)
 
     @property
     def image_size(self) -> int:

@@ -180,3 +180,28 @@ def test_vos_inference_separate_tracks_late_object(vos_fixture, tmp_path):
     # before its first annotation, object 2 is empty (NO_OBJ score)
     assert not out[0][2].any()
     assert (tmp_path / "out2" / "vid0" / "00002.png").exists()
+
+
+def test_benchmark_skips_empty_gt_track(tmp_path):
+    """An SA-V object track whose GT is all-empty in the scored frames (e.g.
+    visible only in the skipped first/last annotated frame) is skipped with a
+    warning instead of aborting the whole benchmark run (regression:
+    `(iou_val,) = iou.values()` raised ValueError on the empty dict)."""
+    gt_root = tmp_path / "gt"
+    pred_root = tmp_path / "pred"
+    full = np.zeros((32, 48), np.uint8)
+    full[4:16, 4:20] = 1
+    empty = np.zeros_like(full)
+    for t in range(4):
+        # object 000: normal track; object 001: GT only in frame 0 (which
+        # the SA-V convention skips) -> nothing to score
+        _write_png(str(gt_root / "sav_000002" / "000" / f"{t:05d}.png"), full)
+        _write_png(str(pred_root / "sav_000002" / "000" / f"{t:05d}.png"), full)
+        g1 = full if t == 0 else empty
+        _write_png(str(gt_root / "sav_000002" / "001" / f"{t:05d}.png"), g1)
+        _write_png(str(pred_root / "sav_000002" / "001" / f"{t:05d}.png"), empty)
+    jf, j, f, results = benchmark(
+        [str(gt_root)], [str(pred_root)], num_processes=1, verbose=False
+    )
+    # only the scoreable object contributes
+    assert jf[0] == 100.0 and j[0] == 100.0

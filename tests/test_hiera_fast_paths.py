@@ -174,3 +174,39 @@ def test_hiera_max_blocks_prefix_matches_full():
     mid = hiera.hiera(tp, x, hcfg, max_blocks=end0 + 2)  # 1 block into stage 2
     assert mid[-1].shape[-1] == full[1].shape[-1]  # stage-2 channel width
     assert hiera.hiera(tp, x, hcfg, max_blocks=0)[-1].shape[1] == x.shape[1] // 4
+
+
+def test_fused_mlp_route_skips_int8_layers(monkeypatch):
+    """SAM2_TPU_FUSED_MLP=1 with int8-quantized MLP weights ({w_int8,
+    w_scale} in place of weight) must fall back to ops.mlp's quantized
+    dispatch instead of KeyError-ing on the raw-weight read (regression:
+    speedup('int8') + the fused-MLP flag crashed at trace time)."""
+    rng = np.random.default_rng(9)
+    C = 64
+    w1 = rng.standard_normal((C, 4 * C)).astype(np.float32) * 0.05
+    w2 = rng.standard_normal((4 * C, C)).astype(np.float32) * 0.05
+
+    def q(w):
+        scale = np.abs(w).max(axis=0) / 127.0 + 1e-12
+        return {
+            "w_int8": jnp.asarray(np.round(w / scale).astype(np.int8)),
+            "w_scale": jnp.asarray(scale, jnp.float32),
+            "bias": jnp.zeros((w.shape[1],), jnp.float32),
+        }
+
+    p_f32 = {
+        "norm2": {"weight": jnp.ones((C,), jnp.float32),
+                  "bias": jnp.zeros((C,), jnp.float32)},
+        "mlp": {"layers": [
+            {"weight": jnp.asarray(w1), "bias": jnp.zeros((4 * C,), jnp.float32)},
+            {"weight": jnp.asarray(w2), "bias": jnp.zeros((C,), jnp.float32)},
+        ]},
+    }
+    p_int8 = {"norm2": p_f32["norm2"], "mlp": {"layers": [q(w1), q(w2)]}}
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, C)), jnp.bfloat16)
+    monkeypatch.setenv("SAM2_TPU_FUSED_MLP", "1")
+    got = np.asarray(hiera._block_mlp(p_int8, x), np.float32)  # must not raise
+    ref = np.asarray(hiera._block_mlp(p_f32, x), np.float32)
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 0.1, err

@@ -185,10 +185,6 @@ def vos_separate_inference_per_object(
     LVOS / YouTube-VOS where objects appear mid-video. Per-frame scores are
     consolidated with the non-overlapping constraint (joint PNG layout
     only), missing frames scored NO_OBJ (-1024)."""
-    import jax.numpy as jnp
-
-    from sam2_opt_tpu.models import sam2_base as base
-
     video_dir = os.path.join(base_video_dir, video_name)
     frame_names = _input_frames(video_dir)
     inference_state = predictor.init_state(video_path=video_dir)
@@ -244,10 +240,14 @@ def vos_separate_inference_per_object(
         for i, oid in enumerate(object_ids):
             if frame_idx in scores_per_object[oid]:
                 scores[i] = scores_per_object[oid][frame_idx]
-        if not per_obj_png_file:
-            scores = np.asarray(
-                base.apply_non_overlapping_constraints(jnp.asarray(scores))
-            )
+        if not per_obj_png_file and len(object_ids) > 1:
+            # numpy mirror of base.apply_non_overlapping_constraints —
+            # a per-frame device call here would pay one H2D+D2H round
+            # trip per frame of video-resolution scores for a plain argmax
+            keep = np.argmax(scores, axis=0, keepdims=True) == np.arange(
+                len(object_ids)
+            )[:, None, None, None]
+            scores = np.where(keep, scores, np.minimum(scores, -10.0))
         outputs_per_frame[frame_idx] = {
             oid: scores[i, 0] > score_thresh
             for i, oid in enumerate(object_ids)

@@ -59,6 +59,16 @@ def _load_jpeg_dir(path: str, image_size: int):
                 )
             return int(m.group(1))
 
+        keys = [frame_no(p) for p in names]
+        if len(set(keys)) != len(keys):
+            # e.g. clip1_0001.jpg and clip2_0001.jpg: the trailing digit
+            # run no longer identifies a frame — refuse rather than let
+            # os.listdir order decide the interleave silently
+            dup = sorted({k for k in keys if keys.count(k) > 1})[:3]
+            raise RuntimeError(
+                f"ambiguous frame ordering in {path}: multiple files share "
+                f"frame number(s) {dup}; use unique per-frame numbers"
+            )
         names.sort(key=frame_no)
     paths = [os.path.join(path, n) for n in names]
 
@@ -135,8 +145,12 @@ def load_video_frames(
         vh, vw = arr.shape[1:3]
         if np.issubdtype(arr.dtype, np.floating):
             # accept float frames in [0,1] or [0,255] — a bare astype(uint8)
-            # would floor normalized frames to all-black
-            scale = 255.0 if arr.max() <= 1.0 + 1e-6 else 1.0
+            # would floor normalized frames to all-black. Threshold at 2.0
+            # (not 1.0) so normalized frames with slight overshoot (e.g.
+            # 1.003 from augmentation) are still read as unit-range instead
+            # of flooring to black; a genuine [0,255] video with max < 2 is
+            # indistinguishable from black either way
+            scale = 255.0 if arr.max() < 2.0 else 1.0
             arr = np.clip(np.rint(arr * scale), 0, 255).astype(np.uint8)
         if arr.shape[1] != image_size or arr.shape[2] != image_size:
             arr = np.stack([_resize_uint8(f, image_size) for f in arr])

@@ -230,10 +230,13 @@ def init_params(cfg: SAM2Config, key) -> Dict:
         "sam_mask_decoder": mask_decoder,
         # projection variants per config flags (reference :317-325, :148-153):
         # SAM 2.1 uses MLP + Linear; 2.0-style configs use Linear / Identity
+        # the MLP/Linear choice only applies when pointers are in use —
+        # Identity otherwise, regardless of use_mlp (reference :322-330
+        # nests the use_mlp branch inside `if use_obj_ptrs_in_encoder`)
         "obj_ptr_proj": (
-            ini.mlp([C, C, C, C]) if cfg.use_mlp_for_obj_ptr_proj
-            else ini.linear(C, C) if cfg.use_obj_ptrs_in_encoder
-            else {}
+            {} if not cfg.use_obj_ptrs_in_encoder
+            else ini.mlp([C, C, C, C]) if cfg.use_mlp_for_obj_ptr_proj
+            else ini.linear(C, C)
         ),
         "obj_ptr_tpos_proj": (
             ini.linear(C, cfg.mem_dim) if cfg.proj_tpos_enc_in_obj_ptrs else {}

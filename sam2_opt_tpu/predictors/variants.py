@@ -108,9 +108,6 @@ class SAM2VideoPredictorLegacy(SAM2VideoPredictor):
     def reset_state(self, inference_state):
         super().reset_state(inference_state)
         inference_state["tracking_has_started"] = False
-        # reference clears the DRM-promotion bookkeeping on reset
-        # (sam2_video_predictor_dam4sam.py:1057,1071)
-        inference_state.get("adds_in_drm_per_obj", {}).clear()
 
 
 class SAM2VideoPredictorDAM4SAM(SAM2VideoPredictor):
@@ -323,6 +320,12 @@ class SAM2VideoPredictorDAM4SAM(SAM2VideoPredictor):
             ptr_pos=ptr_pos[None],
             ptr_valid=ptr_valid[None],
         )
+
+    def reset_state(self, inference_state):
+        super().reset_state(inference_state)
+        # reference clears the DRM-promotion bookkeeping on reset
+        # (sam2_video_predictor_dam4sam.py:1057,1071)
+        inference_state.get("adds_in_drm_per_obj", {}).clear()
 
     def add_to_drm(self, inference_state, frame_idx, obj_id):
         """Promote an already-tracked frame into the DRM (conditioning) part

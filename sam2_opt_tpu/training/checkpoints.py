@@ -17,18 +17,16 @@ from typing import Dict, List, Optional, Sequence
 import jax
 import numpy as np
 
+from sam2_opt_tpu.utils.misc import keystr_to_dotted
 
-def _keystr_to_name(key: str) -> str:
-    from sam2_opt_tpu.utils.misc import keystr_to_dotted
 
-    return keystr_to_dotted(key)
 
 
 def names_matching(params, patterns: Sequence[str]) -> List[str]:
     """All parameter names (torch-style dotted) matching any unix pattern
     (reference checkpoint_utils.py:30-66 unix_pattern_to_parameter_names)."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    names = [_keystr_to_name(jax.tree_util.keystr(p)) for p, _ in flat]
+    names = [keystr_to_dotted(jax.tree_util.keystr(p)) for p, _ in flat]
     out = []
     for n in names:
         if any(fnmatch.fnmatch(n, pat) for pat in patterns):
@@ -43,7 +41,7 @@ def filter_params(params, include: Optional[Sequence[str]] = None,
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     result = {}
     for path, leaf in flat:
-        name = _keystr_to_name(jax.tree_util.keystr(path))
+        name = keystr_to_dotted(jax.tree_util.keystr(path))
         if include and not any(fnmatch.fnmatch(name, p) for p in include):
             continue
         if exclude and any(fnmatch.fnmatch(name, p) for p in exclude):

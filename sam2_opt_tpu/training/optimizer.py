@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from sam2_opt_tpu.utils.misc import keystr_to_dotted
+
 
 # --------------------------------------------------------------------- #
 # schedules by `where` fraction
@@ -64,12 +66,6 @@ def _param_names(params) -> List[str]:
     return [jax.tree_util.keystr(p) for p, _ in flat]
 
 
-def _keystr_to_torch_name(key: str) -> str:
-    """"['image_encoder']['trunk']['blocks'][3]['norm1']['weight']" ->
-    "image_encoder.trunk.blocks.3.norm1.weight" (matches reference patterns)."""
-    from sam2_opt_tpu.utils.misc import keystr_to_dotted
-
-    return keystr_to_dotted(key)
 
 
 def hiera_layer_id(name: str, num_layers: int) -> int:
@@ -94,7 +90,7 @@ def layer_decay_lr_scales(params, layer_decay: float, trunk_depth: int,
     num_layers = trunk_depth + 1
     scales = {}
     for key in _param_names(params):
-        name = _keystr_to_torch_name(key)
+        name = keystr_to_dotted(key)
         if name.startswith(trunk_prefix):
             rel = name[len(trunk_prefix) + 1 :]
             layer_id = hiera_layer_id(rel, trunk_depth)
@@ -116,7 +112,7 @@ def default_weight_decay_mask(params):
     torch BUFFER, never optimized there) is excluded too."""
 
     def decide(path, leaf):
-        name = _keystr_to_torch_name(jax.tree_util.keystr(path))
+        name = keystr_to_dotted(jax.tree_util.keystr(path))
         if name.endswith("bias"):
             return False
         if name.endswith("weight") and getattr(leaf, "ndim", 0) == 1:
@@ -170,7 +166,7 @@ class ScheduledOptimizer:
                             scales[name] = value
             flat = jax.tree_util.tree_flatten_with_path(params)
             leaves = [
-                scales[_keystr_to_torch_name(jax.tree_util.keystr(p))]
+                scales[keystr_to_dotted(jax.tree_util.keystr(p))]
                 for p, _ in flat[0]
             ]
             lr_scales = jax.tree_util.tree_unflatten(
@@ -244,7 +240,7 @@ def build_optimizer(params, base_lr: float = 5e-6,
         flat = jax.tree_util.tree_flatten_with_path(opt.lr_scales)
         leaves = []
         for path, scale in flat[0]:
-            name = _keystr_to_torch_name(jax.tree_util.keystr(path))
+            name = keystr_to_dotted(jax.tree_util.keystr(path))
             leaves.append(
                 scale * trunk_lr_scale if name.startswith("image_encoder")
                 else scale

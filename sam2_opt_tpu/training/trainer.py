@@ -299,11 +299,14 @@ class Trainer:
             if total_steps:
                 denom = total_steps
             else:
-                # total unknown (epoch 0 with steps_per_epoch=None): use the
-                # monotone lower bound num_epochs * steps_so-far, which keeps
-                # `where` below 1/num_epochs (warmup/early-cosine side) until
-                # run() measures the real epoch length
-                denom = self.tcfg.num_epochs * (self.steps + 1)
+                # total unknown (epoch 0 with steps_per_epoch=None; run()
+                # measures the real length after epoch 0). steps+1 alone is
+                # a degenerate epoch-length bound at small num_epochs
+                # (num_epochs=1 -> where = s/(s+1) sweeps the whole cosine
+                # within a few steps), so floor the assumed epoch length:
+                # `where` then advances at most 1/(num_epochs*1000) per step
+                # and epoch 0 stays on the warmup/early side of the schedule
+                denom = self.tcfg.num_epochs * max(self.steps + 1, 1000)
             where = min(self.steps / max(denom, 1), 1.0 - 1e-6)
             lr = jnp.asarray(self.optimizer.lr_at(where), jnp.float32)
 

@@ -177,9 +177,16 @@ class AsyncVideoFrameLoader:
             return self._decode(idx)
         with self._cv:
             while idx not in self.frames and self.exception is None:
+                if idx <= self._consumed:
+                    # another consumer seeked past idx while we waited; the
+                    # worker follows _consumed and may never decode idx —
+                    # fall back to on-demand instead of waiting forever
+                    break
                 self._cv.wait(timeout=60)
             if self.exception is not None:
                 raise self.exception
-            self._consumed = max(self._consumed, idx)
-            self._cv.notify_all()
-            return self.frames[idx]
+            if idx in self.frames:
+                self._consumed = max(self._consumed, idx)
+                self._cv.notify_all()
+                return self.frames[idx]
+        return self._decode(idx)

@@ -136,6 +136,12 @@ def test_dam4sam_end_to_end(dam_predictor):
     mem = p._gather_memory(state, obj_out, frame_idx=4, reverse=False)
     assert np.asarray(mem.valid[0]).sum() >= 2
 
+    # reset clears the DRM-promotion bookkeeping (reference
+    # sam2_video_predictor_dam4sam.py:1057,1071; regression: the clear
+    # lived on the Legacy class, where the key never exists)
+    p.reset_state(state)
+    assert state["adds_in_drm_per_obj"] == {}
+
 
 def test_legacy_track_contract(tiny128_cfg, tiny128_params):
     """Legacy (pre-12/2024) API contract: no new objects after tracking

@@ -304,3 +304,36 @@ def test_async_loader_forward_seek_no_deadlock(tmp_path):
     # backward reads (skipped by the seek) decode on demand
     f2 = loader[2]
     assert abs(int(np.asarray(f2).mean().round()) - 40) <= 1
+
+
+def test_jpeg_dir_duplicate_frame_numbers_raise(tmp_path):
+    """clip1_0001.jpg vs clip2_0001.jpg share a trailing frame number — the
+    interleave would be os.listdir-order-dependent, so refuse (regression:
+    stable sort silently picked filesystem enumeration order)."""
+    from PIL import Image
+
+    from sam2_opt_tpu.io.video import _load_jpeg_dir
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    for clip in ("clip1", "clip2"):
+        for i in (1, 2):
+            Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+                d / f"{clip}_{i:04d}.jpg"
+            )
+    with pytest.raises(RuntimeError, match="ambiguous"):
+        _load_jpeg_dir(str(d), 8)
+
+
+def test_load_video_frames_unit_range_overshoot():
+    """[0,1] frames with slight overshoot (e.g. 1.003 from augmentation) must
+    still be read as unit-range, not floored to near-black by a [0,255]
+    interpretation (regression: threshold was exactly 1.0+1e-6)."""
+    from sam2_opt_tpu.io.video import load_video_frames
+
+    rng = np.random.default_rng(1)
+    base = rng.random((2, 64, 64, 3)).astype(np.float32) * 1.003
+    src, _, _ = load_video_frames(base, image_size=64)
+    np.testing.assert_allclose(
+        np.asarray(src.frames), np.clip(np.rint(base * 255), 0, 255), atol=1
+    )

@@ -176,6 +176,11 @@ def main():
     #    skips); bf16 stays the accuracy-neutral predictor default.
     # ------------------------------------------------------------------ #
     if os.environ.get("BENCH_INT8", "1") != "0":
+        int8_metrics = [
+            f"image_encode_int8_{variant}_1024px_fps",
+            f"video_propagation_int8_{variant}_fps",
+        ]
+        emitted = set()
         try:
             from sam2_opt_tpu.quant.calibrate import collect_activation_scales
             from sam2_opt_tpu.quant.int8 import quantize_params
@@ -192,6 +197,7 @@ def main():
                                f"int8 image encode {variant}")
             emit(f"image_encode_int8_{variant}_1024px_fps", per_q,
                  "images/s/chip", BASELINE_IMAGE_FPS)
+            emitted.add(int8_metrics[0])
 
             # int8-encoder video propagation (speedup("int8") on the video
             # predictor): tracking/memory stays bf16, like the reference's
@@ -200,9 +206,19 @@ def main():
                                 f"int8 video propagation {variant}")
             emit(f"video_propagation_int8_{variant}_fps", per_qv,
                  "frames/s/chip", BASELINE_VIDEO_FPS)
+            emitted.add(int8_metrics[1])
         except Exception as e:  # headline bf16 metrics are already printed
             print(f"[bench] int8 section failed, skipping: {e!r}",
                   file=sys.stderr)
+            # A positional consumer reads the LAST JSON line as the headline
+            # (int8 video in the success case). Emit machine-readable error
+            # records for the metrics that were not produced so a failure
+            # here can never be mistaken for a (10% different) bf16 number.
+            for m in int8_metrics:
+                if m not in emitted:
+                    print(json.dumps(
+                        {"metric": m, "value": None, "error": repr(e)}
+                    ), flush=True)
 
 
 if __name__ == "__main__":

@@ -150,7 +150,17 @@ def load_video_frames(
             # 1.003 from augmentation) are still read as unit-range instead
             # of flooring to black; a genuine [0,255] video with max < 2 is
             # indistinguishable from black either way
-            scale = 255.0 if arr.max() < 2.0 else 1.0
+            amax = float(arr.max())
+            scale = 255.0 if amax < 2.0 else 1.0
+            if 1.0 < amax < 2.0:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "float video with max=%.3f is ambiguous between a "
+                    "slightly-overshooting [0,1] video and a near-black "
+                    "[0,255] one; treating it as unit-range (x255). Pass "
+                    "uint8 frames to avoid the reinterpretation.", amax,
+                )
             arr = np.clip(np.rint(arr * scale), 0, 255).astype(np.uint8)
         if arr.shape[1] != image_size or arr.shape[2] != image_size:
             arr = np.stack([_resize_uint8(f, image_size) for f in arr])

@@ -154,10 +154,13 @@ class SAM2Model:
             # default cap 32 (matching quantize_model): activation-scale
             # collection runs the encoder EAGERLY per image (the shim reads
             # per-linear maxima on host), so the dataset class's 2000-image
-            # default would turn speedup("int8") into an hours-long startup
+            # default would turn speedup("int8") into an hours-long startup.
+            # max_images=None -> the 32 default; 0 or negative -> no cap.
+            if max_images is None:
+                max_images = 32
             ds = ImageEncodeCalibratorDataset(
                 calib_dir, image_size=self.cfg.image_size,
-                max_images=max_images if max_images else 32,
+                max_images=max_images if max_images > 0 else None,
             )
             act_scales = collect_activation_scales(
                 self.params, self.cfg, ds.batches(), pattern=pattern

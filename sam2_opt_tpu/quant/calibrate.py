@@ -26,7 +26,8 @@ class ImageEncodeCalibratorDataset:
 
     def __init__(self, images_path: str, batch_size: int = 1,
                  image_size: int = 1024, do_norm: bool = False,
-                 max_images: int = 2000):
+                 max_images: Optional[int] = 2000):
+        # max_images=None means no cap (the [:None] slice keeps everything)
         self.image_size = image_size
         self.do_norm = do_norm
         names = [

@@ -300,13 +300,17 @@ class Trainer:
                 denom = total_steps
             else:
                 # total unknown (epoch 0 with steps_per_epoch=None; run()
-                # measures the real length after epoch 0). steps+1 alone is
-                # a degenerate epoch-length bound at small num_epochs
-                # (num_epochs=1 -> where = s/(s+1) sweeps the whole cosine
-                # within a few steps), so floor the assumed epoch length:
-                # `where` then advances at most 1/(num_epochs*1000) per step
-                # and epoch 0 stays on the warmup/early side of the schedule
-                denom = self.tcfg.num_epochs * max(self.steps + 1, 1000)
+                # measures the real length after epoch 0 — except when
+                # num_epochs=1, where no later epoch exists to apply it).
+                # Assume the epoch is 10x longer than what has been seen so
+                # far (floored at 1000 steps): `where` then stays below
+                # 1/(10*num_epochs) for the entire unknown-length epoch
+                # instead of sweeping the whole cosine, regardless of how
+                # many steps it turns out to have. Pass steps_per_epoch for
+                # a real schedule on single-epoch runs.
+                denom = self.tcfg.num_epochs * max(
+                    10 * (self.steps + 1), 1000
+                )
             where = min(self.steps / max(denom, 1), 1.0 - 1e-6)
             lr = jnp.asarray(self.optimizer.lr_at(where), jnp.float32)
 

@@ -247,6 +247,16 @@ _HIERA_VARIANTS = {
 }
 
 
+def _replace_dotted(obj, key: str, value):
+    """dataclasses.replace through a dotted field path."""
+    head, _, rest = key.partition(".")
+    if not rest:
+        return dataclasses.replace(obj, **{head: value})
+    return dataclasses.replace(
+        obj, **{head: _replace_dotted(getattr(obj, head), rest, value)}
+    )
+
+
 def model_config(variant: str = "hiera_l", **overrides) -> SAM2Config:
     """Build a SAM2.1 config for a named Hiera variant.
 
@@ -267,8 +277,21 @@ def model_config(variant: str = "hiera_l", **overrides) -> SAM2Config:
     if variant not in _HIERA_VARIANTS:
         raise ValueError(f"unknown variant {variant!r}")
     trunk = _HIERA_VARIANTS[variant]
+    # dotted overrides ("trunk.stages", "memory_attention.num_layers", ...) —
+    # the role hydra CLI overrides play in the reference train.py (its yaml
+    # configs are flat hydra trees). trunk.* applies before the neck is
+    # derived so backbone_channel_list tracks the overridden trunk.
+    trunk_over = {
+        k[len("trunk."):]: overrides.pop(k)
+        for k in list(overrides) if k.startswith("trunk.")
+    }
+    if trunk_over:
+        trunk = dataclasses.replace(trunk, **trunk_over)
+    nested = {k: overrides.pop(k) for k in list(overrides) if "." in k}
     neck = FpnNeckConfig(backbone_channel_list=tuple(trunk.channel_list))
     cfg = SAM2Config(trunk=trunk, neck=neck, **overrides)
+    for key, value in nested.items():
+        cfg = _replace_dotted(cfg, key, value)
     # keep the memory-attention RoPE table in sync with the feature grid when
     # image_size is overridden (e.g. tiny shapes in multi-chip dry runs)
     grid = cfg.image_size // cfg.backbone_stride

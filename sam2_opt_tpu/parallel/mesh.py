@@ -69,6 +69,118 @@ def param_shardings(mesh: Mesh, params) -> dict:
 def shard_params(mesh: Mesh, params):
     """Place a params pytree onto the mesh with TP shardings."""
     shardings = param_shardings(mesh, params)
+    if jax.process_count() > 1:
+        # device_put cannot target non-addressable devices; build global
+        # arrays shard-by-shard from the (process-replicated) host values
+        return jax.tree_util.tree_map(
+            lambda x, s: _global_from_host(np.asarray(x), s), params, shardings
+        )
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, s), params, shardings
     )
+
+
+# --------------------------------------------------------------------- #
+# multi-process (multi-host) batch feeding — the TPU-native counterpart
+# of the reference's per-rank DistributedSampler + DDP input split
+# (training/utils/distributed.py:228-284, trainer.py:291-311). Each
+# process loads ONLY the global-batch rows its local devices own; the
+# global array is assembled from those shards with no cross-host copy.
+# --------------------------------------------------------------------- #
+
+
+def process_local_batch_rows(mesh: Mesh, global_batch_size: int):
+    """Global-batch row indices (sorted) owned by THIS process under the
+    P("data") batch sharding. Derived from the sharding's device->index
+    map, so it is correct for any mesh/device ordering."""
+    sh = NamedSharding(mesh, P("data"))
+    imap = sh.devices_indices_map((global_batch_size,))
+    rows = set()
+    for dev, idx in imap.items():
+        if dev.process_index == jax.process_index():
+            rows.update(range(*idx[0].indices(global_batch_size)))
+    return sorted(rows)
+
+
+def _global_from_host(host: np.ndarray, sharding: NamedSharding):
+    """Global jax.Array from a host value replicated across processes."""
+    return jax.make_array_from_callback(
+        host.shape, sharding, lambda index: host[index]
+    )
+
+
+def put_global_batch(mesh: Mesh, local: np.ndarray,
+                     global_batch_size: Optional[int] = None,
+                     rows=None):
+    """Place a batch (sharded over "data" on axis 0) onto the mesh.
+
+    Single-process: `local` IS the global batch -> device_put.
+    Multi-process: `local` holds only this process's rows (the ones
+    `process_local_batch_rows` returned, in that order); the global
+    array is assembled via make_array_from_callback so each process
+    provides exactly its addressable shards.
+    """
+    spec = P("data", *([None] * (local.ndim - 1)))
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(local, sh)
+    gbs = global_batch_size if global_batch_size is not None else (
+        local.shape[0] * jax.process_count()
+    )
+    gshape = (gbs,) + local.shape[1:]
+    rows = rows if rows is not None else process_local_batch_rows(mesh, gbs)
+    assert len(rows) == local.shape[0], (
+        f"local batch has {local.shape[0]} rows but this process owns "
+        f"{len(rows)} of the global {gbs}"
+    )
+    pos = {r: i for i, r in enumerate(rows)}
+
+    def cb(index):
+        rs = range(*index[0].indices(gbs))
+        return local[[pos[r] for r in rs]][(slice(None),) + tuple(index[1:])]
+
+    return jax.make_array_from_callback(gshape, sh, cb)
+
+
+def put_replicated(mesh: Mesh, local: np.ndarray):
+    """Place a host value (identical on every process) fully replicated."""
+    sh = replicated(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(local, sh)
+    return _global_from_host(np.asarray(local), sh)
+
+
+def fetch_global(tree):
+    """Host numpy copy of a (possibly multi-process sharded) state tree.
+
+    Arrays whose shards span processes are allgathered first; host values
+    and fully-addressable arrays are fetched directly. Checkpoint-save
+    counterpart of `place_like`."""
+
+    def one(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(
+                multihost_utils.process_allgather(x, tiled=True)
+            )
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(one, tree)
+
+
+def place_like(template_tree, host_tree):
+    """Place host (numpy, process-replicated) values onto the shardings of
+    `template_tree`'s arrays — multi-process-safe checkpoint restore."""
+
+    import jax.numpy as jnp
+
+    def one(t, h):
+        sh = getattr(t, "sharding", None)
+        if sh is None:
+            return jnp.asarray(h)
+        if jax.process_count() == 1:
+            return jax.device_put(h, sh)
+        return _global_from_host(np.asarray(h), sh)
+
+    return jax.tree_util.tree_map(one, template_tree, host_tree)

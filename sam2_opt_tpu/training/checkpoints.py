@@ -90,17 +90,32 @@ class CheckpointManager:
         auto-discovery (latest_step) at pre-rollback state."""
         final = self._path(step)
         tmp = final + ".tmp"
-        if os.path.exists(tmp):
+        multiproc = jax.process_count() > 1
+        rank0 = jax.process_index() == 0
+        if rank0 and os.path.exists(tmp):
             shutil.rmtree(tmp)
+        if multiproc:
+            # orbax's save is collective (internal cross-process barriers):
+            # EVERY process must call it, with identical host state (the
+            # trainer fetch_global's the sharded train state first). Only
+            # rank 0 touches the filesystem bookkeeping around it.
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt_tmp_clean_{step}")
         state = jax.tree_util.tree_map(np.asarray, state)
         self._ckpt.save(tmp, state)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.rename(tmp, final)
-        for s in self.all_steps():
-            if s > step:
-                shutil.rmtree(self._path(s), ignore_errors=True)
-        self._gc()
+        if rank0:
+            if os.path.exists(final):
+                shutil.rmtree(final)
+            os.rename(tmp, final)
+            for s in self.all_steps():
+                if s > step:
+                    shutil.rmtree(self._path(s), ignore_errors=True)
+            self._gc()
+        if multiproc:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt_done_{step}")
 
     def _gc(self):
         steps = self.all_steps()

@@ -562,7 +562,26 @@ class VOSDataset:
                 affine_prob=0.0,
             )
         self.multiplier = max(int(multiplier), 1)
-        self.rng = random.Random(seed)
+        self._seed = seed
+        self._epoch = 0
+        self.rng = random.Random(seed)  # kept for callers that seeded it
+
+    def set_epoch(self, epoch: int):
+        """Re-key per-item augmentation for a new epoch (the role of torch
+        DistributedSampler.set_epoch in the reference's loader,
+        training/utils/distributed.py)."""
+        self._epoch = int(epoch)
+
+    def _item_rng(self, idx: int) -> random.Random:
+        # Index+epoch-keyed (NOT stateful): item idx gets the same sampling
+        # and augmentation regardless of access order or which process
+        # loads it — required for multi-process data sharding, where each
+        # process materializes a different subset of the global batch.
+        # Explicit arithmetic (not hash()) so PYTHONHASHSEED randomization
+        # cannot desynchronize processes.
+        return random.Random(
+            (self._seed * 1_000_003 + self._epoch) * 1_000_033 + idx
+        )
 
     def __len__(self):
         return len(self.raw) * self.multiplier
@@ -581,13 +600,14 @@ class VOSDataset:
         return [{} for _ in frame_indices]
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        rng = self._item_rng(idx)
         video = self.raw.get_video(idx % len(self.raw))
         # Tracked objects must be VISIBLE IN THE FIRST sampled frame — the
         # rollout prompts frame 0 from GT, and an empty first-frame mask
         # yields a bogus prompt. The reference resamples the frame window
         # until the first frame has a target (vos_sampler.py:44-72).
         for _retry in range(100):
-            sampled = self.sampler.sample(len(video.frames), self.rng)
+            sampled = self.sampler.sample(len(video.frames), rng)
             # only the FIRST frame's segments decide acceptance — decode just
             # that one per retry, and the remaining T-1 once after accepting
             first = self._load_frame_segments(video, sampled.frame_indices[:1])
@@ -613,7 +633,7 @@ class VOSDataset:
         masks = np.zeros((T, N, S, S), bool)
         obj_valid = np.zeros((N,), bool)
         obj_ids = list(visible_ids)
-        self.rng.shuffle(obj_ids)
+        rng.shuffle(obj_ids)
         obj_ids = obj_ids[:N]
         for j, oid in enumerate(obj_ids):
             obj_valid[j] = True
@@ -621,7 +641,7 @@ class VOSDataset:
                 if oid in seg:
                     masks[t, j] = _resize_mask_bool(seg[oid], S)
 
-        images, masks = self.transforms(images, masks, self.rng)
+        images, masks = self.transforms(images, masks, rng)
         return {"images": images, "masks": masks, "obj_valid": obj_valid,
                 "video_name": video.video_name}
 
@@ -720,11 +740,32 @@ def collate_videos(samples: List[Dict]) -> Dict[str, np.ndarray]:
 
 
 def data_loader(dataset, batch_size: int, shuffle: bool = True, seed: int = 0,
-                drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
-    """Simple epoch iterator (replaces torch DataLoader for the host side)."""
+                drop_last: bool = True,
+                batch_rows: Optional[Sequence[int]] = None,
+                ) -> Iterator[Dict[str, np.ndarray]]:
+    """Simple epoch iterator (replaces torch DataLoader for the host side).
+
+    `batch_rows`: multi-process data sharding (the reference's per-rank
+    DistributedSampler, training/utils/distributed.py + trainer.py:291-311).
+    `batch_size` is then the GLOBAL batch size; every process builds the
+    same shuffled global order from the shared seed but materializes
+    (loads + augments) ONLY the rows of each global batch listed in
+    `batch_rows` (from `parallel.mesh.process_local_batch_rows`), yielding
+    local batches of len(batch_rows) rows tagged with the global size.
+    Requires drop_last (a ragged final global batch would shard unevenly).
+    """
     order = list(range(len(dataset)))
     if shuffle:
         random.Random(seed).shuffle(order)
+    if batch_rows is not None:
+        assert drop_last, "batch_rows (multi-process sharding) needs drop_last"
+        rows = list(batch_rows)
+        for start in range(0, len(order) - batch_size + 1, batch_size):
+            chunk = order[start : start + batch_size]
+            out = collate_videos([dataset[chunk[r]] for r in rows])
+            out["global_batch_size"] = batch_size
+            yield out
+        return
     batch = []
     for idx in order:
         batch.append(dataset[idx])

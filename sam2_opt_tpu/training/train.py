@@ -31,6 +31,12 @@ def main():
     parser.add_argument("--lr", type=float, default=5e-6)
     parser.add_argument("--layer-decay", type=float, default=0.8)
     parser.add_argument("--image-size", type=int, default=None)
+    parser.add_argument("--override", action="append", default=[],
+                        metavar="KEY=VALUE",
+                        help="model-config override, dotted keys allowed "
+                             "(e.g. trunk.stages='(1,1,1,1)') — the role "
+                             "hydra CLI overrides play in the reference "
+                             "train.py; values are python literals")
     parser.add_argument("--log-dir", default="logs")
     parser.add_argument("--checkpoint-dir", default="checkpoints_train")
     parser.add_argument("--freeze-image-encoder", action="store_true")
@@ -72,13 +78,35 @@ def main():
 
         dp = args.dp if args.dp > 0 else jax.device_count() // args.tp
         mesh = mesh_lib.make_mesh(dp=dp, tp=args.tp)
+    elif jax.process_count() > 1:
+        parser.error(
+            "multi-process runs need a mesh: pass --dp (e.g. --dp -1) so "
+            "the batch can be globally sharded across processes"
+        )
 
     overrides = {}
     if args.image_size:
         overrides["image_size"] = args.image_size
+    for item in args.override:
+        key, sep, raw = item.partition("=")
+        if not sep:
+            parser.error(f"--override needs KEY=VALUE, got {item!r}")
+        import ast
+
+        try:
+            overrides[key] = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            overrides[key] = raw
     cfg = model_config(args.variant, **overrides)
-    model = build_from_any(args.variant, args.checkpoint)
-    params = model.params
+    if args.checkpoint is None and overrides:
+        # structural overrides (trunk.stages, ...) change the param tree;
+        # init directly from the overridden config
+        from sam2_opt_tpu.models.init import init_params
+
+        params = init_params(cfg, jax.random.PRNGKey(args.seed))
+    else:
+        model = build_from_any(args.variant, args.checkpoint)
+        params = model.params
 
     tcfg = TrainConfig(
         num_epochs=args.num_epochs,
@@ -107,8 +135,21 @@ def main():
         seed=args.seed,
     )
 
+    # per-process data sharding (the reference's DistributedSampler role,
+    # training/utils/distributed.py): every process builds the same global
+    # shuffle from the shared seed but loads ONLY the global-batch rows its
+    # local devices own, so DP replicas see disjoint data with no redundant
+    # host decode
+    batch_rows = None
+    if mesh is not None and jax.process_count() > 1:
+        from sam2_opt_tpu.parallel.mesh import process_local_batch_rows
+
+        batch_rows = process_local_batch_rows(mesh, args.batch_size)
+
     def train_loader(epoch):
-        return data_loader(ds, args.batch_size, seed=args.seed + epoch)
+        ds.set_epoch(epoch)
+        return data_loader(ds, args.batch_size, seed=args.seed + epoch,
+                           batch_rows=batch_rows)
 
     val_loader = None
     if args.val_img_folder:
@@ -122,9 +163,12 @@ def main():
             return data_loader(vds, 1, shuffle=False, drop_last=False)
 
     steps_per_epoch = max(len(ds) // args.batch_size, 1)
-    print(f"training {args.variant} on {len(ds)} videos, "
-          f"{steps_per_epoch} steps/epoch, devices: {jax.device_count()}")
+    if jax.process_index() == 0:
+        print(f"training {args.variant} on {len(ds)} videos, "
+              f"{steps_per_epoch} steps/epoch, devices: {jax.device_count()} "
+              f"({jax.process_count()} process(es))")
     trainer.run(train_loader, val_loader, steps_per_epoch=steps_per_epoch)
+    return trainer  # for in-process drivers/tests; the CLI ignores it
 
 
 if __name__ == "__main__":

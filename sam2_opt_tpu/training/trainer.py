@@ -70,8 +70,10 @@ class TensorBoardLogger:
     """Rank-0 TensorBoard writer (reference utils/logger.py:27-150);
     degrades to a no-op when tensorboard is unavailable."""
 
-    def __init__(self, log_dir: str):
+    def __init__(self, log_dir: str, enabled: bool = True):
         self._writer = None
+        if not enabled:
+            return
         try:
             from torch.utils.tensorboard import SummaryWriter
 
@@ -116,10 +118,14 @@ class Trainer:
         self.steps = 0
         self.epoch = 0
         self.best_val_loss = float("inf")
+        self.step_losses: list = []  # per-step global-mean losses (host)
+        self._rank0 = jax.process_index() == 0
         self.ckpt = CheckpointManager(train_cfg.checkpoint_dir)
-        self.tb = TensorBoardLogger(train_cfg.log_dir)
+        # rank-0 logging, like the reference trainer (trainer.py:703-880)
+        self.tb = TensorBoardLogger(train_cfg.log_dir, enabled=self._rank0)
         self._step_fns = {}
         self._correct_frame_pools = {}
+        self._batch_rows_cache = {}
         self._rng = jax.random.PRNGKey(train_cfg.seed)
         import random as _random
 
@@ -197,6 +203,42 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
 
+    def _place_batch(self, batch, N):
+        """Host batch -> device/mesh arrays. Multi-process: the loader's
+        `batch_rows` sharding yields only this process's rows; assemble the
+        global batch from per-process shards (no `device_put` of host-global
+        arrays — reference counterpart: DDP's per-rank input split,
+        trainer.py:291-311 + utils/distributed.py:228-284)."""
+        images = np.asarray(batch["images"], np.float32) / 255.0
+        masks = np.asarray(batch["masks"])
+        obj_valid = np.asarray(
+            batch.get("obj_valid", np.ones((images.shape[0], N), bool))
+        )
+        if self.mesh is None:
+            return (jnp.asarray(images), jnp.asarray(masks),
+                    jnp.asarray(obj_valid))
+        from sam2_opt_tpu.parallel import mesh as mesh_lib
+
+        gbs = int(batch.get("global_batch_size", 0))
+        if jax.process_count() > 1:
+            if not gbs:
+                raise ValueError(
+                    "multi-process training needs loader batches tagged "
+                    "with global_batch_size — pass batch_rows="
+                    "process_local_batch_rows(mesh, global_bs) to "
+                    "data_loader (see training/train.py)"
+                )
+        else:
+            gbs = gbs or images.shape[0]
+        rows = self._batch_rows_cache.get(gbs)
+        if rows is None:
+            rows = mesh_lib.process_local_batch_rows(self.mesh, gbs)
+            self._batch_rows_cache[gbs] = rows
+        return tuple(
+            mesh_lib.put_global_batch(self.mesh, a, gbs, rows)
+            for a in (images, masks, obj_valid)
+        )
+
     def save_checkpoint(self):
         state = {
             "params": self.params,
@@ -205,6 +247,13 @@ class Trainer:
             "epoch": np.asarray(self.epoch),
             "best_val_loss": np.asarray(self.best_val_loss),
         }
+        if jax.process_count() > 1:
+            # gather shards to identical host state on every process, then
+            # let the (collective) orbax save coordinate the actual write —
+            # CheckpointManager barriers + rank-0-gates the fs bookkeeping
+            from sam2_opt_tpu.parallel.mesh import fetch_global
+
+            state = fetch_global(state)
         self.ckpt.save(self.steps, state)
 
     def load_checkpoint(self) -> bool:
@@ -222,10 +271,21 @@ class Trainer:
             restored = self.ckpt.restore()
         if restored is None:
             return False
-        self.params = jax.tree_util.tree_map(jnp.asarray, restored["params"])
-        self.opt_state = jax.tree_util.tree_map(
-            jnp.asarray, restored["opt_state"]
-        )
+        if self.mesh is not None:
+            # restore onto the live shardings (device_put of host values
+            # cannot target non-addressable devices in multi-process runs,
+            # and a bare jnp.asarray would silently drop the mesh placement)
+            from sam2_opt_tpu.parallel.mesh import place_like
+
+            self.params = place_like(self.params, restored["params"])
+            self.opt_state = place_like(self.opt_state, restored["opt_state"])
+        else:
+            self.params = jax.tree_util.tree_map(
+                jnp.asarray, restored["params"]
+            )
+            self.opt_state = jax.tree_util.tree_map(
+                jnp.asarray, restored["opt_state"]
+            )
         self.steps = int(restored["steps"])
         self.epoch = int(restored["epoch"])
         self.best_val_loss = float(restored["best_val_loss"])
@@ -279,22 +339,10 @@ class Trainer:
         t_data = time.time()
         for batch in loader:
             data_time.update(time.time() - t_data)
-            images = jnp.asarray(batch["images"], jnp.float32) / 255.0
-            masks = jnp.asarray(batch["masks"])
             # [B, T, N, S, S] -> per-video [T, N, S, S] handled in loss
-            T = images.shape[1]
-            N = masks.shape[2]
-            obj_valid = jnp.asarray(
-                batch.get("obj_valid",
-                          np.ones((images.shape[0], N), bool))
-            )
-            if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                sh = NamedSharding(self.mesh, P("data"))
-                images = jax.device_put(images, sh)
-                masks = jax.device_put(masks, sh)
-                obj_valid = jax.device_put(obj_valid, sh)
+            T = batch["images"].shape[1]
+            N = batch["masks"].shape[2]
+            images, masks, obj_valid = self._place_batch(batch, N)
             self._rng, key = jax.random.split(self._rng)
             if total_steps:
                 denom = total_steps
@@ -367,11 +415,13 @@ class Trainer:
                     "(reference trainer raises on NaN losses)"
                 )
             loss_meter.update(loss)
+            self.step_losses.append(loss)
             mem.update()
             if self.steps % self.tcfg.log_scalar_frequency == 0:
                 self.tb.log("train/loss", loss, self.steps)
                 self.tb.log("train/lr", float(lr), self.steps)
-                progress.display(self.steps)
+                if self._rank0:
+                    progress.display(self.steps)
             self.steps += 1
             t_data = time.time()
         return loss_meter.avg
@@ -403,12 +453,27 @@ class Trainer:
             val_fn = self._build_val_fn()
             self._step_fns["val"] = val_fn
         for batch in loader:
-            images = jnp.asarray(batch["images"], jnp.float32) / 255.0
-            masks = jnp.asarray(batch["masks"])
-            obj_valid = jnp.asarray(
+            images = np.asarray(batch["images"], np.float32) / 255.0
+            masks = np.asarray(batch["masks"])
+            obj_valid = np.asarray(
                 batch.get("obj_valid",
                           np.ones((images.shape[0], masks.shape[2]), bool))
             )
+            if self.mesh is not None and jax.process_count() > 1:
+                # val loaders are not globally sharded (shuffle=False,
+                # batch 1): every process evaluates the same replicated
+                # batch, matching single-process val numbers exactly
+                from sam2_opt_tpu.parallel import mesh as mesh_lib
+
+                images, masks, obj_valid = (
+                    mesh_lib.put_replicated(self.mesh, a)
+                    for a in (images, masks, obj_valid)
+                )
+            else:
+                images, masks, obj_valid = (
+                    jnp.asarray(images), jnp.asarray(masks),
+                    jnp.asarray(obj_valid),
+                )
             self._rng, key = jax.random.split(self._rng)
             loss_meter.update(
                 float(val_fn(self.params, images, masks, obj_valid, key)),

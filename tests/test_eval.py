@@ -205,3 +205,159 @@ def test_benchmark_skips_empty_gt_track(tmp_path):
     )
     # only the scoreable object contributes
     assert jf[0] == 100.0 and j[0] == 100.0
+
+
+# --------------------------------------------------------------------- #
+# cross-validation against the reference's own J&F implementation
+# (/root/reference/sam2/sav_dataset/utils/sav_benchmark.py) on identical
+# synthetic GT/pred folders — the instrument behind the eventual headline
+# J&F number must agree with the reference scorer to float precision.
+# --------------------------------------------------------------------- #
+
+_REF_SAV_BENCHMARK = "/root/reference/sam2/sav_dataset/utils/sav_benchmark.py"
+
+
+def _import_reference_sav_benchmark():
+    """Load the reference scorer. skimage isn't installed here; stub
+    skimage.morphology.disk with an INDEPENDENT transcription of its
+    documented semantics (not sam2_opt_tpu.eval.metrics.disk — sharing our
+    implementation would let a bug there hide from this comparison)."""
+    import importlib.util
+    import sys
+    import types
+
+    if "skimage" not in sys.modules:
+        def _disk(radius, dtype=np.uint8):
+            L = np.arange(-radius, radius + 1)
+            X, Y = np.meshgrid(L, L)
+            return np.array((X ** 2 + Y ** 2) <= radius ** 2, dtype=dtype)
+
+        skimage = types.ModuleType("skimage")
+        morph = types.ModuleType("skimage.morphology")
+        morph.disk = _disk
+        skimage.morphology = morph
+        sys.modules["skimage"] = skimage
+        sys.modules["skimage.morphology"] = morph
+    spec = importlib.util.spec_from_file_location(
+        "ref_sav_benchmark", _REF_SAV_BENCHMARK
+    )
+    mod = importlib.util.module_from_spec(spec)
+    # register BEFORE exec: the reference pickles VideoEvaluator into its
+    # multiprocessing Pool, and unpickling imports by module name
+    sys.modules["ref_sav_benchmark"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _rect(shape, r0, c0, h, w, value=1):
+    m = np.zeros(shape, np.uint8)
+    m[max(r0, 0):max(r0, 0) + h, max(c0, 0):max(c0, 0) + w] = value
+    return m
+
+
+def _build_davis_video(gt_dir, pred_dir, which):
+    """Multi-object palette-png DAVIS layout with awkward cases: an object
+    that first appears mid-video (the scorer keys objects from first
+    sighting), prediction misses, and a pred-only false-positive id."""
+    from PIL import Image
+
+    shape = (48, 64)
+    T = 6
+    for t in range(T):
+        gt = np.zeros(shape, np.uint8)
+        pred = np.zeros(shape, np.uint8)
+        if which == "a":
+            gt |= _rect(shape, 4 + t, 6, 12, 14, 1)
+            pred |= _rect(shape, 5 + t, 7, 12, 14, 1)      # 1px shift
+            if t >= 2:
+                gt[30:42, 30 + t:44 + t] = 2               # late-start obj
+            if t >= 3:
+                pred[31:41, 31 + t:43 + t] = 2             # later + smaller
+            if t == 4:
+                pred[2:6, 50:60] = 3                       # pred-only id
+        else:
+            gt |= _rect(shape, 10, 10 + 2 * t, 16, 10, 1)
+            if t not in (2, 4):                            # dropped frames
+                pred |= _rect(shape, 11, 9 + 2 * t, 15, 11, 1)
+        os.makedirs(gt_dir, exist_ok=True)
+        os.makedirs(pred_dir, exist_ok=True)
+        Image.fromarray(gt).save(os.path.join(gt_dir, f"{t:05d}.png"))
+        Image.fromarray(pred).save(os.path.join(pred_dir, f"{t:05d}.png"))
+
+
+def _build_sav_video(gt_root, pred_root, video):
+    """SA-V per-object binary layout, annotated every 4th frame; one track
+    with partial GT visibility and imperfect predictions."""
+    from PIL import Image
+
+    shape = (48, 64)
+    frames = [f"{t:05d}.png" for t in range(0, 16, 4)]
+    for obj, off in (("000", 0), ("001", 3)):
+        for i, name in enumerate(frames):
+            gt = np.zeros(shape, np.uint8)
+            pred = np.zeros(shape, np.uint8)
+            if obj == "000" or i >= 1:                     # 001 starts late
+                gt = _rect(shape, 8 + off + i, 8 + 2 * i, 14, 12, 1)
+            if obj == "000" or i >= 2:
+                pred = _rect(shape, 9 + off + i, 9 + 2 * i, 13, 12, 1)
+            gd = os.path.join(gt_root, video, obj)
+            pd = os.path.join(pred_root, video, obj)
+            os.makedirs(gd, exist_ok=True)
+            os.makedirs(pd, exist_ok=True)
+            Image.fromarray(gt).save(os.path.join(gd, name))
+            Image.fromarray(pred).save(os.path.join(pd, name))
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_REF_SAV_BENCHMARK), reason="reference unavailable"
+)
+def test_jf_matches_reference_implementation(tmp_path):
+    ref = _import_reference_sav_benchmark()
+
+    davis_gt = str(tmp_path / "davis" / "gt")
+    davis_pred = str(tmp_path / "davis" / "pred")
+    _build_davis_video(os.path.join(davis_gt, "vid_a"),
+                       os.path.join(davis_pred, "vid_a"), "a")
+    _build_davis_video(os.path.join(davis_gt, "vid_b"),
+                       os.path.join(davis_pred, "vid_b"), "b")
+    sav_gt = str(tmp_path / "sav" / "gt")
+    sav_pred = str(tmp_path / "sav" / "pred")
+    _build_sav_video(sav_gt, sav_pred, "sav_000001")
+    _build_sav_video(sav_gt, sav_pred, "sav_000002")
+
+    gt_roots = [davis_gt, sav_gt]
+    pred_roots = [davis_pred, sav_pred]
+
+    ref_jf, ref_j, ref_f, ref_obj = ref.benchmark(
+        list(gt_roots), list(pred_roots), strict=True, num_processes=1,
+        verbose=False, skip_first_and_last=True,
+    )
+    our_jf, our_j, our_f, _ = benchmark(
+        list(gt_roots), list(pred_roots), strict=True, num_processes=1,
+        verbose=False, skip_first_and_last=True,
+    )
+
+    # global J, F, J&F equal to float precision, per dataset
+    np.testing.assert_allclose(our_j, ref_j, rtol=0, atol=1e-11)
+    np.testing.assert_allclose(our_f, ref_f, rtol=0, atol=1e-11)
+    np.testing.assert_allclose(our_jf, ref_jf, rtol=0, atol=1e-11)
+    # and the scores are non-trivial (imperfect predictions)
+    assert 0.0 < our_jf[0] < 100.0 and 0.0 < our_jf[1] < 100.0
+
+    # per-video per-object agreement: our per-video scorer returns the same
+    # (video, {obj: J}, {obj: F}) triple shape as the reference's
+    from sam2_opt_tpu.eval.sav_benchmark import _ScoreVideo
+
+    for d, (gt_root, pred_root) in enumerate(zip(gt_roots, pred_roots)):
+        for video, (ref_iou, ref_bf) in ref_obj[d].items():
+            _, our_iou, our_bf = _ScoreVideo(
+                gt_root, pred_root, skip_first_and_last=True
+            )(video)
+            ours_iou = {str(k): v for k, v in our_iou.items()}
+            ours_bf = {str(k): v for k, v in our_bf.items()}
+            assert set(ours_iou) == {str(k) for k in ref_iou}
+            for k in ref_iou:
+                np.testing.assert_allclose(
+                    ours_iou[str(k)], ref_iou[k], rtol=0, atol=1e-11)
+                np.testing.assert_allclose(
+                    ours_bf[str(k)], ref_bf[k], rtol=0, atol=1e-11)

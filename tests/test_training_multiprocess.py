@@ -1,0 +1,157 @@
+"""Multi-process (multi-host) training: 2 jax processes x 4 virtual CPU
+devices drive training/train.py's REAL main() end-to-end and must produce
+the same loss and post-step parameters as one process over the same 8
+devices on identical data.
+
+This is the TPU-native counterpart of the reference's multi-node DDP path
+(sam2/training/trainer.py:291-311, train.py:44-114,
+training/utils/distributed.py:228-284): per-process sampler sharding
+(`data_loader(batch_rows=...)`), global-batch assembly from per-process
+shards (`parallel.mesh.put_global_batch`), cross-process gradient
+all-reduce via GSPMD, rank-0 logging, and the collective orbax checkpoint
+save. Each subprocess writes its per-step losses plus a fingerprint of the
+gathered global params; the test compares the layouts.
+
+Runtime: ~7 min on the 1-CPU CI box (three XLA CPU compiles of the shallow
+fwd+bwd rollout, two of them concurrent). The driver lives in
+tests/_mp_train_driver.py and is shared with
+`__graft_entry__.dryrun_multiprocess`.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DRIVER = os.path.join(REPO, "tests", "_mp_train_driver.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _make_dataset(root, num_videos=8, num_frames=3, size=64):
+    rng = np.random.default_rng(0)
+    for v in range(num_videos):
+        vd = os.path.join(root, "JPEGImages", f"video{v}")
+        gd = os.path.join(root, "Annotations", f"video{v}")
+        os.makedirs(vd), os.makedirs(gd)
+        for t in range(num_frames):
+            img = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+            Image.fromarray(img).save(os.path.join(vd, f"{t:05d}.jpg"))
+            mask = np.zeros((size, size), np.uint8)
+            mask[16:40, 8 + 2 * t : 32 + 2 * t] = 1
+            Image.fromarray(mask).save(os.path.join(gd, f"{t:05d}.png"))
+    return (os.path.join(root, "JPEGImages"), os.path.join(root, "Annotations"))
+
+
+def _launch(img, gt, out, workdir, extra_env, local_devices, log_path):
+    env = dict(os.environ)
+    env.pop("JAX_PROCESS_COUNT", None)
+    env.pop("JAX_PROCESS_ID", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={local_devices}"
+    )
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.update(extra_env)
+    # log to a file, not PIPE: two long-running children on one pipe each
+    # could fill the 64K buffer and deadlock the join below
+    log = open(log_path, "wb")
+    proc = subprocess.Popen(
+        [sys.executable, DRIVER,
+         "--img_folder", img, "--gt_folder", gt,
+         "--out", out, "--workdir", workdir,
+         "--batch-size", "8", "--dp", "8", "--tp", "1",
+         "--image-size", "64"],
+        env=env, stdout=log, stderr=subprocess.STDOUT,
+    )
+    proc._log_path = log_path
+    proc._log_file = log
+    return proc
+
+
+def run_layout(tmp_path, tag, img, gt, num_processes):
+    """Run train.py under `num_processes` jax processes; return their
+    result dicts."""
+    port = _free_port()
+    procs, outs = [], []
+    for pid in range(num_processes):
+        out = str(tmp_path / f"out_{tag}_{pid}.json")
+        outs.append(out)
+        extra = {}
+        if num_processes > 1:
+            extra = {
+                "JAX_PROCESS_COUNT": str(num_processes),
+                "JAX_PROCESS_ID": str(pid),
+                "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+            }
+        procs.append(
+            _launch(img, gt, out, str(tmp_path / f"work_{tag}"), extra,
+                    local_devices=8 // num_processes,
+                    log_path=str(tmp_path / f"log_{tag}_{pid}.txt"))
+        )
+    results = []
+    try:
+        for pid, p in enumerate(procs):
+            rc = p.wait(timeout=560)
+            p._log_file.close()
+            if rc != 0:
+                with open(p._log_path) as f:
+                    tail = f.read()[-3000:]
+                raise AssertionError(
+                    f"{tag} process {pid} failed (rc={rc}):\n{tail}"
+                )
+            with open(outs[pid]) as f:
+                results.append(json.load(f))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    return results
+
+
+@pytest.mark.skipif(
+    os.environ.get("SAM2_SKIP_MULTIPROCESS") == "1",
+    reason="multi-process training test disabled by env",
+)
+def test_two_process_training_matches_single_process(tmp_path):
+    img, gt = _make_dataset(str(tmp_path / "data"))
+
+    multi = run_layout(tmp_path, "mp", img, gt, num_processes=2)
+    single = run_layout(tmp_path, "sp", img, gt, num_processes=1)[0]
+
+    # both ranks saw the global mesh and ran the same number of steps
+    assert [r["device_count"] for r in multi] == [8, 8]
+    assert [r["process_count"] for r in multi] == [2, 2]
+    assert multi[0]["steps"] == multi[1]["steps"] == single["steps"] == 1
+
+    # the global-mean loss is replicated: identical across ranks, and equal
+    # to the single-process loss on the same data up to collective
+    # reduction order (Gloo cross-process vs intra-process all-reduce)
+    assert multi[0]["step_losses"] == multi[1]["step_losses"]
+    np.testing.assert_allclose(
+        multi[0]["step_losses"], single["step_losses"], rtol=1e-5
+    )
+
+    # post-update global params agree across ranks and layouts
+    assert (multi[0]["params_fingerprint"]
+            == multi[1]["params_fingerprint"])
+    np.testing.assert_allclose(
+        multi[0]["params_fingerprint"], single["params_fingerprint"],
+        rtol=1e-6,
+    )
+
+    # rank-0 collective checkpoint landed exactly once, atomically
+    ckpt_dir = tmp_path / "work_mp" / "ckpt"
+    saved = sorted(p.name for p in ckpt_dir.iterdir())
+    assert "checkpoint_1" in saved
+    assert not any(p.endswith(".tmp") for p in saved)

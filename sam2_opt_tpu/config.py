@@ -31,6 +31,12 @@ class HieraConfig:
     patch_padding: Tuple[int, int] = (3, 3)
     mlp_ratio: float = 4.0
     drop_path_rate: float = 0.0
+    # Training-memory knob: rematerialize each trunk block under autodiff
+    # (jax.checkpoint per block). The backward pass then recomputes one
+    # block at a time instead of keeping every block's intermediates live —
+    # required to fit the production hiera-b+ @1024² 8-frame rollout on one
+    # 16 GB v5e chip. No effect on inference (forward-only) graphs.
+    remat_blocks: bool = False
 
     @property
     def depth(self) -> int:

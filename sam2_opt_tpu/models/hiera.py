@@ -8,6 +8,7 @@ encoder jit-compiles to a single XLA program.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import List, Tuple
 
@@ -73,6 +74,42 @@ def _packed_window_max_tokens() -> int:
     return 0
 
 
+def _flash_window_min_tokens() -> int:
+    """Smallest window (tokens) routed through the fused per-window flash
+    kernel (kernels/window_attention.py window_flash_3d) instead of the
+    einsum path. Env override SAM2_TPU_FLASH_WINDOW_MIN; 0 disables.
+
+    MEASURED NEGATIVE IN-TRUNK on v5e — default stays OFF: in isolation the
+    kernel wins at stage-3's 256-token windows (27 vs 40 us — its S² logits
+    stay in VMEM; tools/bench_window_flash.py), but inside the full encode
+    the einsum's logits chain fuses with its neighbors while the kernel's
+    layout transposes do not: stage 3 measured 11.17 -> 12.65 ms with
+    SAM2_TPU_FLASH_WINDOW_MIN=256 (tools/bench_hiera_stages.py). Kept for
+    re-evaluation on other TPU generations. Read at jit-trace time — see
+    _packed_window_max_tokens."""
+    import os
+
+    try:
+        v = int(os.environ.get("SAM2_TPU_FLASH_WINDOW_MIN", "0"))
+        return v if v > 0 else 1 << 30
+    except ValueError:
+        return 1 << 30
+
+
+def _flat_window_min_tokens() -> int:
+    """Smallest window (tokens) whose runs keep the token-flat
+    [B*nW, 1, ws*ws, C] layout (see hiera() below). Env override
+    SAM2_TPU_FLAT_WINDOW_MIN (default 256, the measured v5e crossover:
+    flat wins for stage-3's 256-token windows and loses for the 16/64-token
+    stages). Read at jit-trace time — see _packed_window_max_tokens."""
+    import os
+
+    try:
+        return int(os.environ.get("SAM2_TPU_FLAT_WINDOW_MIN", "256"))
+    except ValueError:
+        return 256
+
+
 def _split_window_min_tokens() -> int:
     """Smallest window (tokens) routed to the split-qkv einsum path; smaller
     windows keep the interleaved SDPA path. Env override
@@ -129,6 +166,13 @@ def _split_window_attention(p, x, num_heads: int, packed: bool = False):
         from sam2_opt_tpu.kernels.window_attention import packed_window_attention
 
         out = packed_window_attention(q, k, v)
+    elif S >= _flash_window_min_tokens():
+        from sam2_opt_tpu.kernels.window_attention import window_flash_3d
+
+        out = window_flash_3d(
+            q, k, v,
+            interpret=jax.default_backend() not in ("tpu", "axon"),
+        )
     else:
         acc = x.dtype if ops.use_fast_softmax() else jnp.float32
         s = jnp.einsum("nqhd,nkhd->nhqk", q, k, preferred_element_type=acc)
@@ -215,12 +259,14 @@ def multiscale_block(p, x, spec: dict, q_stride: Tuple[int, int], mlp_ratio: flo
                      windowed: bool = False):
     """One Hiera block (reference hieradet.py:84-166).
 
-    `windowed=True` means x is ALREADY in window layout ([B*nW, ws, ws, C])
-    and the output stays windowed: residual/LN/MLP are pointwise over tokens,
-    so consecutive same-window blocks can skip the unpartition -> partition
-    HBM round trip between them entirely (the caller hoists the layout
-    changes to window-run boundaries). Only valid for non-pooling windowed
-    blocks with dim == dim_out — which is every block that is not a stage
+    `windowed=True` means x is ALREADY in token-flat window layout
+    ([B*nW, 1, ws*ws, C] — flat so the two minor dims fill whole TPU tiles,
+    see hiera() below) and the output stays windowed: residual/LN/MLP are
+    pointwise over tokens and attention sees the same ws*ws token set, so
+    consecutive same-window blocks skip the unpartition -> partition HBM
+    round trip between them entirely (the caller hoists the layout changes
+    to window-run boundaries). Only valid for non-pooling windowed blocks
+    with dim == dim_out — which is every block that is not a stage
     transition or a global block.
     """
     dim, dim_out = spec["dim"], spec["dim_out"]
@@ -313,7 +359,17 @@ def hiera(p, x, cfg: HieraConfig, max_blocks: int | None = None) -> List[jnp.nda
     # partition pair is the identity on real tokens (everything between is
     # pointwise), so the tensor stays in window layout across the run and the
     # HBM transpose round trips collapse to one per run boundary.
+    #
+    # Large-window runs (ws*ws >= SAM2_TPU_FLAT_WINDOW_MIN tokens, default
+    # 256 = hiera-L stage 3) are additionally kept TOKEN-FLAT as
+    # [B*nW, 1, ws*ws, C] instead of [B*nW, ws, ws, C]. Measured on v5e:
+    # stage 3 (33 blocks, 16x16 windows) 12.35 -> 11.28 ms; the small-window
+    # stages measured SLOWER flat (s1 1.94 -> 2.19, s2 3.32 -> 3.99,
+    # s4 0.89 -> 1.35 — XLA's fusions handle their (ws, C) minors fine), so
+    # they keep the square layout. Identical math either way (attention over
+    # the same ws*ws token sets; pointwise ops are shape-agnostic).
     cur_ws = 0          # 0 = flat [B, H, W, C]
+    cur_flat = False    # True = run tensor is [B*nW, 1, ws*ws, C]
     flat_hw = None      # (H, W) of the flat view while windowed
     for i, spec in enumerate(plan):
         ws = spec["window_size"]
@@ -327,24 +383,42 @@ def hiera(p, x, cfg: HieraConfig, max_blocks: int | None = None) -> List[jnp.nda
         want_ws = ws if runnable else 0
         if cur_ws != want_ws:
             if cur_ws != 0:
+                if cur_flat:
+                    x = x.reshape(-1, cur_ws, cur_ws, x.shape[-1])
                 x = ops.window_unpartition(
                     x, cur_ws, flat_hw, flat_hw
                 )
             if want_ws != 0:
                 flat_hw = (x.shape[1], x.shape[2])
                 x, _ = ops.window_partition(x, want_ws)
+                cur_flat = want_ws * want_ws >= _flat_window_min_tokens()
+                if cur_flat:
+                    x = x.reshape(
+                        x.shape[0], 1, want_ws * want_ws, x.shape[-1]
+                    )
             cur_ws = want_ws
-        x = multiscale_block(
-            p["blocks"][i], x, spec, cfg.q_stride, cfg.mlp_ratio,
-            windowed=cur_ws != 0,
+        blk = functools.partial(
+            multiscale_block, spec=spec, q_stride=cfg.q_stride,
+            mlp_ratio=cfg.mlp_ratio, windowed=cur_ws != 0,
         )
+        if cfg.remat_blocks:
+            # per-block rematerialization: under grad, only each block's
+            # INPUT is saved; its intermediates are recomputed one block at
+            # a time in the backward pass (training-memory knob, see
+            # HieraConfig.remat_blocks)
+            blk = jax.checkpoint(blk)
+        x = blk(p["blocks"][i], x)
         if i in stage_ends:
             if cur_ws != 0:
+                if cur_flat:
+                    x = x.reshape(-1, cur_ws, cur_ws, x.shape[-1])
                 x = ops.window_unpartition(x, cur_ws, flat_hw, flat_hw)
                 cur_ws = 0
             outputs.append(x)
     if truncated:
         if cur_ws != 0:
+            if cur_flat:
+                x = x.reshape(-1, cur_ws, cur_ws, x.shape[-1])
             x = ops.window_unpartition(x, cur_ws, flat_hw, flat_hw)
         if not plan or (len(plan) - 1) not in stage_ends:
             outputs.append(x)

@@ -90,11 +90,26 @@ def _use_fused_kv_proj() -> bool:
 
 def _perm_proj(p, perm):
     """Permute the OUTPUT channels of a projection so rotation operates on
-    contiguous half-lanes (ops/posenc.py split_perm). Weight is [in, out]."""
-    out = {"weight": p["weight"][:, perm]}
+    contiguous half-lanes (ops/posenc.py split_perm). Weight is [in, out].
+
+    Int8-quantized projections (quant/int8.py) permute the int8 columns and
+    the per-output-channel scales identically; the per-tensor input-side
+    act_scale is permutation-invariant."""
+    if "w_int8" in p:
+        out = {"w_int8": p["w_int8"][:, perm], "w_scale": p["w_scale"][perm]}
+        if "act_scale" in p:
+            out["act_scale"] = p["act_scale"]
+    else:
+        out = {"weight": p["weight"][:, perm]}
     if "bias" in p:
         out["bias"] = p["bias"][perm]
     return out
+
+
+def _proj_out_dim(p) -> int:
+    """Output width of a (possibly int8-quantized) projection."""
+    w = p.get("weight")
+    return (w if w is not None else p["w_int8"]).shape[1]
 
 
 def rope_self_attention(p, cfg: MemoryAttentionConfig, q_in, k_in, v_in):
@@ -102,7 +117,7 @@ def rope_self_attention(p, cfg: MemoryAttentionConfig, q_in, k_in, v_in):
     (reference transformer.py:345-424 with q_len == k_len)."""
     num_heads = cfg.num_heads
     ex, ey = cfg.rope_feat_sizes
-    head_dim = p["q_proj"]["weight"].shape[1] // num_heads
+    head_dim = _proj_out_dim(p["q_proj"]) // num_heads
 
     if _use_fused_rope(q_in.shape[1], k_in.shape[1]) and q_in.shape[1] == ex * ey:
         from sam2_opt_tpu.kernels.flash_attention import flash_attention
@@ -149,7 +164,7 @@ def rope_cross_attention(
     seq = ex * ey
     assert num_frame_tokens % seq == 0
     reps = num_frame_tokens // seq
-    head_dim = p["q_proj"]["weight"].shape[1] // num_heads
+    head_dim = _proj_out_dim(p["q_proj"]) // num_heads
 
     if _use_fused_rope(q_in.shape[1], k_in.shape[1]) and q_in.shape[1] == seq:
         from sam2_opt_tpu.kernels import flash_attention as fa
@@ -165,7 +180,10 @@ def rope_cross_attention(
         ck, sk = _kv_half_tables(head_dim, ex, ey, cfg.rope_theta, reps, n_extra)
         ckj = jnp.asarray(ck, q.dtype)
         skj = jnp.asarray(sk, q.dtype)
-        if num_heads == 1 and _use_fused_kv_proj():
+        if (num_heads == 1 and _use_fused_kv_proj()
+                and "weight" in p["k_proj"] and "weight" in p["v_proj"]):
+            # (int8-quantized k/v projections cannot stream raw weights into
+            # the kernel; they take the XLA-side projection branch below)
             # deepest fusion: stream kv at mem_dim width, project + bias +
             # rotate in-kernel (the projected K/V never hit HBM)
             kp = _perm_proj(p["k_proj"], perm)

@@ -96,6 +96,7 @@ class SAM2Model:
                 model_root_path: Optional[str] = None,
                 calib_dir: Optional[str] = None,
                 activation_quant: bool = True,
+                quant_scope: str = "encoder",
                 **_ignored):
         """One-line acceleration, mirroring the reference predictor.speedup()
         (sam2_image_predictor.py:94-138). Compiles the hot functions to XLA.
@@ -113,6 +114,7 @@ class SAM2Model:
                 calib_dir=calib_dir or model_root_path,
                 activation_quant=activation_quant,
                 dtype=dtype,
+                scope=quant_scope,
             )
             return
         if model_root_path is not None or calib_dir is not None:
@@ -137,19 +139,30 @@ class SAM2Model:
     def quantize_int8(self, calib_dir: Optional[str] = None,
                       activation_quant: bool = True, dtype=jnp.bfloat16,
                       pattern: Optional[str] = None,
-                      max_images: Optional[int] = None):
-        """Int8-quantize the encoder hot path (TPU-native analogue of the
-        reference's TRT int8 engines, quant_image_encoder.py:8-75). Quantizes
-        the COMPUTE params only; the fp32 master tree is untouched."""
-        from sam2_opt_tpu.quant.int8 import DEFAULT_QUANT_PATTERN, quantize_params
+                      max_images: Optional[int] = None,
+                      scope: str = "encoder"):
+        """Int8-quantize the hot path (TPU-native analogue of the reference's
+        TRT int8 engines, quant_image_encoder.py:8-75). Quantizes the COMPUTE
+        params only; the fp32 master tree is untouched.
 
-        pattern = pattern or DEFAULT_QUANT_PATTERN
+        scope: "encoder" (the reference's int8 footprint — Hiera trunk
+        linears) or "tracking" (beyond reference: additionally quantizes the
+        memory-attention q/k/v/out/FFN and SAM two-way-transformer linears;
+        calibration then drives the full track step per image)."""
+        from sam2_opt_tpu.quant.int8 import (
+            DEFAULT_QUANT_PATTERN,
+            TRACKING_QUANT_PATTERN,
+            quantize_params,
+        )
+
+        if pattern is None:
+            if scope not in ("encoder", "tracking"):
+                raise ValueError(f"unknown quant scope: {scope!r}")
+            pattern = (TRACKING_QUANT_PATTERN if scope == "tracking"
+                       else DEFAULT_QUANT_PATTERN)
         act_scales = None
         if activation_quant and calib_dir:
-            from sam2_opt_tpu.quant.calibrate import (
-                ImageEncodeCalibratorDataset,
-                collect_activation_scales,
-            )
+            from sam2_opt_tpu.quant import calibrate as cal
 
             # default cap 32 (matching quantize_model): activation-scale
             # collection runs the encoder EAGERLY per image (the shim reads
@@ -158,11 +171,14 @@ class SAM2Model:
             # max_images=None -> the 32 default; 0 or negative -> no cap.
             if max_images is None:
                 max_images = 32
-            ds = ImageEncodeCalibratorDataset(
+            ds = cal.ImageEncodeCalibratorDataset(
                 calib_dir, image_size=self.cfg.image_size,
                 max_images=max_images if max_images > 0 else None,
             )
-            act_scales = collect_activation_scales(
+            collect = (cal.collect_tracking_activation_scales
+                       if scope == "tracking"
+                       else cal.collect_activation_scales)
+            act_scales = collect(
                 self.params, self.cfg, ds.batches(), pattern=pattern
             )
             if not act_scales:

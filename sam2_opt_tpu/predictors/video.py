@@ -50,6 +50,50 @@ def _select_closest_cond_frames(frame_idx, cond_frame_outputs, max_cond_frame_nu
     return selected, unselected
 
 
+def make_cond_track_fn(cfg: SAM2Config, mesh, static: dict,
+                       keep_multimasks: bool = False):
+    """The production memory-conditioned track-step function (jittable).
+
+    Module-level so the compile-only mesh tests can lower/compile the EXACT
+    graph `_track_jit("cond")` dispatches at production shapes
+    (1024², 7 memory slots, 64 pointer tokens) without building a predictor.
+    """
+
+    def fn(p, feats, mem, coords, labels, mask_inputs, prev_logits):
+        B = mem.tpos_idx.shape[0]
+        f0, f1, f2 = feats
+        if B > 1 and f2.shape[0] == 1:
+            # object-batched tracking: one shared frame encode,
+            # memory/heads batched over objects (the reference loops
+            # objects at batch 1; batching is the TPU win)
+            f0 = jnp.repeat(f0, B, axis=0)
+            f1 = jnp.repeat(f1, B, axis=0)
+            f2 = jnp.repeat(f2, B, axis=0)
+        if mesh is not None and B % mesh.shape["data"] == 0:
+            # object-DP over the mesh: GSPMD propagates this
+            # constraint through memory attention / SAM heads /
+            # memory encoder
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sh = NamedSharding(
+                mesh, PartitionSpec("data", None, None, None)
+            )
+            f0, f1, f2 = (
+                jax.lax.with_sharding_constraint(f, sh)
+                for f in (f0, f1, f2)
+            )
+        return vc.track_step_conditioned(
+            p, cfg, (f0, f1, f2), mem, coords, labels, prev_logits,
+            multimask_output=static["multimask"],
+            run_mem_encoder=static["run_mem_encoder"],
+            fill_hole_area=static["fill_hole_area"],
+            keep_multimasks=keep_multimasks and static["multimask"],
+            mask_inputs=mask_inputs,
+        )
+
+    return fn
+
+
 class SAM2VideoPredictor:
     def __init__(
         self,
@@ -139,17 +183,20 @@ class SAM2VideoPredictor:
 
     def speedup(self, backend: str = "xla", use_cache: bool = True,
                 model_root_path=None, dtype=jnp.bfloat16,
-                calib_dir=None, activation_quant: bool = True):
+                calib_dir=None, activation_quant: bool = True,
+                quant_scope: str = "encoder"):
         """One-line acceleration (reference :45-145): compiles encoder + memory
         attention + heads to XLA and warms up the hot shapes. backend "int8"
         additionally quantizes the image-encoder linears (weight-only, or
-        activation-quant with `calib_dir`) — the tracking head/memory path
-        stays bf16, mirroring the reference's encoder-only TRT int8 engines
-        (quant_image_encoder.py)."""
+        activation-quant with `calib_dir`) — by default the tracking
+        head/memory path stays bf16, mirroring the reference's encoder-only
+        TRT int8 engines (quant_image_encoder.py); quant_scope="tracking"
+        extends int8 to the memory-attention and SAM-transformer linears
+        (beyond reference; calibration then drives the full track step)."""
         self.model.speedup(
             backend=backend, use_cache=use_cache, dtype=dtype,
             model_root_path=model_root_path, calib_dir=calib_dir,
-            activation_quant=activation_quant,
+            activation_quant=activation_quant, quant_scope=quant_scope,
         )
 
     def set_runtime_backend(self, backend="eager", args=None):
@@ -778,39 +825,10 @@ class SAM2VideoPredictor:
                     keep_multimasks=keep_mm and static["multimask"],
                 )
         elif kind == "cond":
-            mesh = self.model.mesh  # shard() clears _jit_fns, so re-traced
-
-            def fn(p, feats, mem, coords, labels, mask_inputs, prev_logits):
-                B = mem.tpos_idx.shape[0]
-                f0, f1, f2 = feats
-                if B > 1 and f2.shape[0] == 1:
-                    # object-batched tracking: one shared frame encode,
-                    # memory/heads batched over objects (the reference loops
-                    # objects at batch 1; batching is the TPU win)
-                    f0 = jnp.repeat(f0, B, axis=0)
-                    f1 = jnp.repeat(f1, B, axis=0)
-                    f2 = jnp.repeat(f2, B, axis=0)
-                if mesh is not None and B % mesh.shape["data"] == 0:
-                    # object-DP over the mesh: GSPMD propagates this
-                    # constraint through memory attention / SAM heads /
-                    # memory encoder
-                    from jax.sharding import NamedSharding, PartitionSpec
-
-                    sh = NamedSharding(
-                        mesh, PartitionSpec("data", None, None, None)
-                    )
-                    f0, f1, f2 = (
-                        jax.lax.with_sharding_constraint(f, sh)
-                        for f in (f0, f1, f2)
-                    )
-                return vc.track_step_conditioned(
-                    p, cfg, (f0, f1, f2), mem, coords, labels, prev_logits,
-                    multimask_output=static["multimask"],
-                    run_mem_encoder=static["run_mem_encoder"],
-                    fill_hole_area=static["fill_hole_area"],
-                    keep_multimasks=keep_mm and static["multimask"],
-                    mask_inputs=mask_inputs,
-                )
+            # shard() clears _jit_fns, so re-traced with the live mesh
+            fn = make_cond_track_fn(
+                cfg, self.model.mesh, static, keep_multimasks=keep_mm
+            )
         elif kind == "memenc":
             def fn(p, embed, high_res_masks, obj_score):
                 return vc.encode_memory_only(

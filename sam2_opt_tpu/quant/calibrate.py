@@ -66,6 +66,68 @@ class ImageEncodeCalibratorDataset:
             yield np.stack([self.preprocess(p) for p in chunk])
 
 
+class _LinearCapture:
+    """Context manager that instruments ops.linear (eager execution only) to
+    record the input absmax of every matching linear. Also forces the plain
+    (non-Pallas, non-permuted) attention paths for the duration so every
+    projection goes through ops.linear with its ORIGINAL weight leaf (the
+    fused-RoPE path projects through permuted weight copies the id-based
+    lookup cannot attribute)."""
+
+    def __init__(self, params: Dict, pattern: str):
+        self.rx = re.compile(pattern)
+        self.records: Dict[str, List[float]] = {}
+        self._id_to_name = {}
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        for path, leaf in flat:
+            key = jax.tree_util.keystr(path)
+            parts = re.findall(r"\[([^\]]+)\]", key)
+            name = ".".join(p.strip("'\"") for p in parts)
+            self._id_to_name[id(leaf)] = name
+
+    def __enter__(self):
+        from sam2_opt_tpu.ops import common as ops
+
+        self._orig_linear = ops.linear
+        self._env = {
+            k: os.environ.get(k)
+            for k in ("SAM2_TPU_FLASH", "SAM2_TPU_FUSED_ROPE")
+        }
+        os.environ["SAM2_TPU_FLASH"] = "0"
+        os.environ["SAM2_TPU_FUSED_ROPE"] = "0"
+
+        def shim(p, x):
+            w = p.get("weight")
+            if w is not None and not isinstance(w, dict) and np.ndim(w) == 2:
+                name = self._id_to_name.get(id(w))
+                if name is not None and self.rx.search(name):
+                    amax = float(jnp.max(jnp.abs(x)))
+                    self.records.setdefault(name, []).append(amax)
+            return self._orig_linear(p, x)
+
+        ops.linear = shim
+        return self
+
+    def __exit__(self, *exc):
+        from sam2_opt_tpu.ops import common as ops
+
+        ops.linear = self._orig_linear
+        for k, v in self._env.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+        return False
+
+    def scales(self, percentile: float) -> Dict[str, float]:
+        out = {}
+        for name, vals in self.records.items():
+            v = (np.percentile(np.asarray(vals), percentile)
+                 if len(vals) > 4 else max(vals))
+            out[name] = float(max(v, 1e-6) / 127.0)
+        return out
+
+
 def collect_activation_scales(
     params: Dict,
     cfg,
@@ -76,49 +138,68 @@ def collect_activation_scales(
     """Run the encoder over calibration batches, recording the input-activation
     absmax for every linear that will be quantized. Returns
     {dotted weight name: per-tensor scale}."""
-    from sam2_opt_tpu.ops import common as ops
     from sam2_opt_tpu.models import sam2_base as base
 
-    rx = re.compile(pattern)
-    records: Dict[str, List[float]] = {}
-
-    # instrument ops.linear via a capture shim (eager execution)
-    orig_linear = ops.linear
-    name_stack: List[str] = []
-
-    def traced_forward(p_tree, img):
-        return base.forward_image(p_tree, cfg, base.image_normalize(img))
-
-    # Build name->param-id map so the shim can identify which linear it is in
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    id_to_name = {}
-    for path, leaf in flat:
-        key = jax.tree_util.keystr(path)
-        parts = re.findall(r"\[([^\]]+)\]", key)
-        name = ".".join(p.strip("'\"") for p in parts)
-        id_to_name[id(leaf)] = name
-
-    def shim(p, x):
-        w = p.get("weight")
-        if w is not None and not isinstance(w, dict) and np.ndim(w) == 2:
-            name = id_to_name.get(id(w))
-            if name is not None and rx.search(name):
-                amax = float(jnp.max(jnp.abs(x)))
-                records.setdefault(name, []).append(amax)
-        return orig_linear(p, x)
-
-    ops.linear = shim
-    try:
+    with _LinearCapture(params, pattern) as cap:
         for batch in batches:
-            traced_forward(params, jnp.asarray(batch))
-    finally:
-        ops.linear = orig_linear
+            base.forward_image(params, cfg, base.image_normalize(
+                jnp.asarray(batch)))
+    return cap.scales(percentile)
 
-    scales = {}
-    for name, vals in records.items():
-        v = np.percentile(np.asarray(vals), percentile) if len(vals) > 4 else max(vals)
-        scales[name] = float(max(v, 1e-6) / 127.0)
-    return scales
+
+def collect_tracking_activation_scales(
+    params: Dict,
+    cfg,
+    batches,
+    pattern: str,
+    percentile: float = 99.99,
+) -> Dict[str, float]:
+    """Activation scales for the TRACKING hot path (memory attention + SAM
+    heads + encoder), which the reference never quantizes (its int8 stops at
+    the encoder engines, quant_image_encoder.py:8-75).
+
+    Each calibration image is driven through the real tracking graph
+    eagerly: encode -> init track step (center click, memory encoded) ->
+    one memory-conditioned track step against a FULL-capacity memory bank
+    built from that frame's own memory (all num_maskmem slots + all pointer
+    slots valid — the steady-state shape), capturing every matching linear's
+    input absmax along the way."""
+    from sam2_opt_tpu.models import sam2_base as base
+    from sam2_opt_tpu.models import video_core as vc
+
+    S_img = cfg.image_size
+    with _LinearCapture(params, pattern) as cap:
+        for batch in batches:
+            img = jnp.asarray(batch)
+            B = img.shape[0]
+            out = base.forward_image(params, cfg, base.image_normalize(img))
+            f0, f1, f2 = out["backbone_fpn"]
+            coords = jnp.full((B, 1, 2), S_img / 2.0, jnp.float32)
+            labels = jnp.ones((B, 1), jnp.int32)
+            init = vc.track_step_init(
+                params, cfg, (f0, f1, f2), coords, labels, None,
+                multimask_output=True, run_mem_encoder=True,
+            )
+            S, P = cfg.num_maskmem, cfg.max_obj_ptrs_in_encoder
+            mm = init["maskmem_features"].astype(f2.dtype)
+            ptr = init["obj_ptr"]
+            mem = vc.MemoryInput(
+                feats=tuple(mm for _ in range(S)),
+                tpos_idx=jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None],
+                                          (B, S)),
+                valid=jnp.ones((B, S), bool),
+                ptrs=tuple(ptr for _ in range(P)),
+                ptr_pos=jnp.broadcast_to(
+                    (jnp.arange(P, dtype=jnp.float32) / max(P - 1, 1))[None],
+                    (B, P),
+                ),
+                ptr_valid=jnp.ones((B, P), bool),
+            )
+            vc.track_step_conditioned(
+                params, cfg, (f0, f1, f2), mem,
+                multimask_output=True, run_mem_encoder=True,
+            )
+    return cap.scales(percentile)
 
 
 def quantize_model(model, images_path: Optional[str] = None,

@@ -27,6 +27,22 @@ import numpy as np
 # FLOP-dominant); matches the reference quantizing the image encoder only.
 DEFAULT_QUANT_PATTERN = r"image_encoder.*(qkv|proj|mlp\.layers\.\d+|linear\d)\.weight$"
 
+# beyond the reference (its int8 stops at the encoder engines,
+# quant_image_encoder.py:8-75): also quantize the tracking hot path —
+# memory-attention q/k/v/out projections + FFN, and the SAM mask-decoder
+# two-way transformer linears. Enabled via quantize_int8(scope="tracking").
+TRACKING_QUANT_PATTERN = (
+    r"("
+    r"image_encoder.*(qkv|proj|mlp\.layers\.\d+|linear\d)\.weight"
+    r"|memory_attention\.layers\.\d+\."
+    r"(self_attn|cross_attn_image)\.(q_proj|k_proj|v_proj|out_proj)\.weight"
+    r"|memory_attention\.layers\.\d+\.linear[12]\.weight"
+    r"|sam_mask_decoder\.transformer\..*"
+    r"(q_proj|k_proj|v_proj|out_proj)\.weight"
+    r"|sam_mask_decoder\.transformer\..*mlp\.layers\.\d+\.weight"
+    r")$"
+)
+
 
 def _keystr_to_name(key: str) -> str:
     parts = re.findall(r"\[([^\]]+)\]", key)

@@ -64,6 +64,151 @@ class TrainConfig:
     log_scalar_frequency: int = 10
     seed: int = 0
     freeze_image_encoder: bool = False
+    # memory knobs for production shapes (hiera-b+ @1024², 8-frame rollouts
+    # per the reference MOSE recipe, sam2/training/README.md:68):
+    # remat: "none" | "encoder" (checkpoint the whole per-rollout encoder,
+    # the historical default) | "blocks" (additionally checkpoint every
+    # trunk block — backward recomputes one block at a time; required to
+    # fit b+ @1024² T=8 on one 16 GB v5e chip)
+    remat: str = "encoder"
+    # split each global batch into this many sequential micro-batches,
+    # accumulating gradients before the single optimizer update (semantics
+    # of a grad_accum_steps-times-larger batch at 1/grad_accum_steps the
+    # activation memory). Batch size must be divisible by
+    # grad_accum_steps * dp for balanced DP accumulation.
+    grad_accum_steps: int = 1
+
+
+def build_train_step(model_cfg: SAM2Config, tcfg: TrainConfig, optimizer,
+                     mesh=None, *, use_box=False, use_mask=False, n_init=1,
+                     correct_frames=()):
+    """The compiled training step (fwd rollout + bwd + optimizer update).
+
+    Module-level so tests can compile it against abstract
+    (jax.eval_shape) params at production shapes without allocating them —
+    the Trainer calls this with its live config/optimizer/mesh.
+
+    Honors tcfg.remat ("none"/"encoder"/"blocks" — see TrainConfig) and
+    tcfg.grad_accum_steps (sequential micro-batches via lax.scan with a
+    single optimizer update; micro-batches are STRIDED over the batch axis
+    so each DP shard contributes equally to every micro-step).
+    """
+    cfg = model_cfg
+    if tcfg.remat == "blocks":
+        cfg = dataclasses.replace(
+            cfg, trunk=dataclasses.replace(cfg.trunk, remat_blocks=True)
+        )
+    use_remat = tcfg.remat != "none"
+    frozen_encoder = tcfg.freeze_image_encoder
+    accum = max(int(tcfg.grad_accum_steps), 1)
+
+    def loss_fn(params, images, masks, obj_valid, rng):
+        B = images.shape[0]
+        keys = jax.random.split(rng, B)
+
+        def one_video(img, msk, valid, key):
+            return sam2_train.video_train_loss(
+                params, cfg, img, msk, key,
+                obj_valid=valid,
+                num_correction_clicks=tcfg.num_correction_clicks,
+                use_box_input=use_box,
+                use_mask_input=use_mask,
+                num_init_cond_frames=n_init,
+                frames_to_add_correction_pt=correct_frames,
+                use_remat=use_remat,
+            )
+
+        # vmap over the video batch (the reference python-loops videos;
+        # vmap compiles ONE batched rollout instead of B copies)
+        losses, auxs = jax.vmap(one_video)(images, masks, obj_valid, keys)
+        return jnp.mean(losses), {k: jnp.mean(v) for k, v in auxs.items()}
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def accum_grads(params, images, masks, obj_valid, rng):
+        """Gradient accumulation over `accum` strided micro-batches."""
+        B = images.shape[0]
+        if accum == 1 or B % accum != 0:
+            return grad_fn(params, images, masks, obj_valid, rng)
+        m = B // accum
+
+        def strided(x):
+            # micro-batch a = rows {a, accum+a, ...}: every DP shard of the
+            # contiguous "data"-sharded batch axis contributes rows to every
+            # micro-batch (a [A, B/A] block reshape would put micro-batch 0
+            # entirely on the first devices)
+            y = x.reshape((m, accum) + x.shape[1:]).swapaxes(0, 1)
+            if mesh is not None and m % mesh.shape["data"] == 0:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                y = jax.lax.with_sharding_constraint(
+                    y,
+                    NamedSharding(
+                        mesh, P(None, "data", *([None] * (x.ndim - 1)))
+                    ),
+                )
+            return y
+
+        xs = (strided(images), strided(masks), strided(obj_valid),
+              jax.random.split(rng, accum))
+        (l0, a0), g0 = jax.eval_shape(
+            grad_fn, params, xs[0][0], xs[1][0], xs[2][0], xs[3][0]
+        )
+        zeros = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), ((l0, a0), g0)
+        )
+
+        def body(carry, x):
+            (lsum, asum), gsum = carry
+            (l, a), g = grad_fn(params, *x)
+            return (
+                (lsum + l, jax.tree_util.tree_map(jnp.add, asum, a)),
+                jax.tree_util.tree_map(jnp.add, gsum, g),
+            ), None
+
+        ((lsum, asum), gsum), _ = jax.lax.scan(body, zeros, xs)
+        inv = 1.0 / accum
+        scale = lambda t: jax.tree_util.tree_map(lambda v: v * inv, t)
+        return (lsum * inv, scale(asum)), scale(gsum)
+
+    def step(params, opt_state, images, masks, obj_valid, rng, lr):
+        (loss, aux), grads = accum_grads(params, images, masks, obj_valid, rng)
+        if frozen_encoder:
+            # zero grads so the frozen block doesn't inflate the global
+            # clip norm or move adam moments ...
+            grads = dict(grads)
+            grads["image_encoder"] = jax.tree_util.tree_map(
+                jnp.zeros_like, grads["image_encoder"]
+            )
+        updates, opt_state = optimizer.update(grads, opt_state, params, lr)
+        if frozen_encoder:
+            # ... AND zero the final updates: add_decayed_weights adds
+            # wd*param regardless of grads, which would shrink "frozen"
+            # encoder weights every step (reference freezes via
+            # requires_grad=False, model/sam2.py:103-105)
+            updates = dict(updates)
+            updates["image_encoder"] = jax.tree_util.tree_map(
+                jnp.zeros_like, updates["image_encoder"]
+            )
+        import optax
+
+        params = optax.apply_updates(params, updates)
+        metrics = {"loss": loss, **{k: v for k, v in (aux or {}).items()}}
+        return params, opt_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1))
+    # batch sharded over "data"; params/opt_state keep their committed
+    # (TP-ruled) placements; XLA all-reduces grads over the mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data5 = NamedSharding(mesh, P("data", None, None, None, None))
+    data2 = NamedSharding(mesh, P("data", None))
+    return jax.jit(
+        step,
+        donate_argnums=(0, 1),
+        in_shardings=(None, None, data5, data5, data2, None, None),
+    )
 
 
 class TensorBoardLogger:
@@ -135,70 +280,10 @@ class Trainer:
 
     def _build_step(self, use_box=False, use_mask=False, n_init=1,
                     correct_frames=()):
-        cfg = self.cfg
-        tcfg = self.tcfg
-        optimizer = self.optimizer
-        frozen_encoder = tcfg.freeze_image_encoder
-
-        def loss_fn(params, images, masks, obj_valid, rng):
-            B = images.shape[0]
-            keys = jax.random.split(rng, B)
-
-            def one_video(img, msk, valid, key):
-                return sam2_train.video_train_loss(
-                    params, cfg, img, msk, key,
-                    obj_valid=valid,
-                    num_correction_clicks=tcfg.num_correction_clicks,
-                    use_box_input=use_box,
-                    use_mask_input=use_mask,
-                    num_init_cond_frames=n_init,
-                    frames_to_add_correction_pt=correct_frames,
-                )
-
-            # vmap over the video batch (the reference python-loops videos;
-            # vmap compiles ONE batched rollout instead of B copies)
-            losses, auxs = jax.vmap(one_video)(images, masks, obj_valid, keys)
-            return jnp.mean(losses), {k: jnp.mean(v) for k, v in auxs.items()}
-
-        def step(params, opt_state, images, masks, obj_valid, rng, lr):
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, images, masks, obj_valid, rng
-            )
-            if frozen_encoder:
-                # zero grads so the frozen block doesn't inflate the global
-                # clip norm or move adam moments ...
-                grads = dict(grads)
-                grads["image_encoder"] = jax.tree_util.tree_map(
-                    jnp.zeros_like, grads["image_encoder"]
-                )
-            updates, opt_state = optimizer.update(grads, opt_state, params, lr)
-            if frozen_encoder:
-                # ... AND zero the final updates: add_decayed_weights adds
-                # wd*param regardless of grads, which would shrink "frozen"
-                # encoder weights every step (reference freezes via
-                # requires_grad=False, model/sam2.py:103-105)
-                updates = dict(updates)
-                updates["image_encoder"] = jax.tree_util.tree_map(
-                    jnp.zeros_like, updates["image_encoder"]
-                )
-            import optax
-
-            params = optax.apply_updates(params, updates)
-            metrics = {"loss": loss, **{k: v for k, v in (aux or {}).items()}}
-            return params, opt_state, metrics
-
-        if self.mesh is None:
-            return jax.jit(step, donate_argnums=(0, 1))
-        # batch sharded over "data"; params/opt_state keep their committed
-        # (TP-ruled) placements; XLA all-reduces grads over the mesh
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        data5 = NamedSharding(self.mesh, P("data", None, None, None, None))
-        data2 = NamedSharding(self.mesh, P("data", None))
-        return jax.jit(
-            step,
-            donate_argnums=(0, 1),
-            in_shardings=(None, None, data5, data5, data2, None, None),
+        return build_train_step(
+            self.cfg, self.tcfg, self.optimizer, mesh=self.mesh,
+            use_box=use_box, use_mask=use_mask, n_init=n_init,
+            correct_frames=correct_frames,
         )
 
     # ------------------------------------------------------------------ #

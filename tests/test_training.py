@@ -251,6 +251,94 @@ def test_trainer_with_mesh(tmp_path, tiny128_cfg):
     assert losses[1] < losses[0], f"loss did not decrease: {losses}"
 
 
+def test_grad_accum_matches_full_batch(tiny128_cfg, tiny128_params):
+    """grad_accum_steps=2 must produce the same post-step params as the
+    full-batch step on identical data (the knob trades activation memory for
+    sequential micro-steps, not semantics). Mask-prompt init + 0 clicks so
+    the rollout consumes no RNG and the comparison is exact up to fp
+    reduction order."""
+    from sam2_opt_tpu.training.optimizer import build_optimizer
+    from sam2_opt_tpu.training.trainer import TrainConfig, build_train_step
+
+    cfg = tiny128_cfg
+    B, T = 4, 2
+    rng = np.random.default_rng(11)
+    images = jnp.asarray(rng.random((B, T, 128, 128, 3)), jnp.float32)
+    masks = np.zeros((B, T, 1, 128, 128), bool)
+    masks[:, :, :, 30:90, 40:100] = True
+    masks = jnp.asarray(masks)
+    ov = jnp.ones((B, 1), bool)
+    key = jax.random.PRNGKey(0)
+    lr = jnp.float32(1e-4)
+
+    outs = {}
+    for accum in (1, 2):
+        params = jax.tree_util.tree_map(jnp.copy, tiny128_params)
+        tcfg = TrainConfig(
+            batch_size=B, num_frames=T, num_correction_clicks=0,
+            grad_accum_steps=accum, remat="none",
+        )
+        optimizer = build_optimizer(params, trunk_depth=cfg.trunk.depth)
+        step = build_train_step(cfg, tcfg, optimizer, use_mask=True)
+        new_params, _, metrics = step(
+            params, optimizer.init(params), images, masks, ov, key, lr
+        )
+        outs[accum] = (metrics["loss"], new_params)
+
+    np.testing.assert_allclose(
+        float(outs[1][0]), float(outs[2][0]), rtol=1e-5
+    )
+    flat1 = jax.tree_util.tree_leaves(outs[1][1])
+    flat2 = jax.tree_util.tree_leaves(outs[2][1])
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-7
+        )
+
+
+def test_remat_blocks_matches_encoder_remat(tiny128_cfg, tiny128_params):
+    """remat="blocks" (per-trunk-block jax.checkpoint, the b+ @1024² memory
+    knob) changes scheduling only — loss and gradients match the default
+    encoder-remat step on the same data/key."""
+    from sam2_opt_tpu.training.optimizer import build_optimizer
+    from sam2_opt_tpu.training.trainer import TrainConfig, build_train_step
+
+    cfg = tiny128_cfg
+    B, T = 2, 2
+    rng = np.random.default_rng(13)
+    images = jnp.asarray(rng.random((B, T, 128, 128, 3)), jnp.float32)
+    masks = np.zeros((B, T, 1, 128, 128), bool)
+    masks[:, :, :, 20:80, 50:110] = True
+    masks = jnp.asarray(masks)
+    ov = jnp.ones((B, 1), bool)
+    key = jax.random.PRNGKey(1)
+    lr = jnp.float32(1e-4)
+
+    outs = {}
+    for remat in ("encoder", "blocks"):
+        params = jax.tree_util.tree_map(jnp.copy, tiny128_params)
+        tcfg = TrainConfig(
+            batch_size=B, num_frames=T, num_correction_clicks=1, remat=remat,
+        )
+        optimizer = build_optimizer(params, trunk_depth=cfg.trunk.depth)
+        step = build_train_step(cfg, tcfg, optimizer)
+        new_params, _, metrics = step(
+            params, optimizer.init(params), images, masks, ov, key, lr
+        )
+        outs[remat] = (metrics["loss"], new_params)
+
+    np.testing.assert_allclose(
+        float(outs["encoder"][0]), float(outs["blocks"][0]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(outs["encoder"][1]),
+        jax.tree_util.tree_leaves(outs["blocks"][1]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-7
+        )
+
+
 def test_coco_rle_roundtrip():
     from sam2_opt_tpu.training.data import decode_coco_rle, encode_coco_rle
 

@@ -251,6 +251,87 @@ def _forward_impl_rope(scale, bq, bk, interpret, d_half, fast, qf, kf, vf,
     )(qf, kf, vf, maskf, cosf, sinf)
 
 
+# --------------------------------------------------------------------------- #
+# Shared exact softmax-recompute backward, chunked over query rows.
+#
+# The one-shot backward materializes TWO [n, sq, skv] fp32 logit tensors
+# (p and dp) in HBM — 4 GB each for the hiera-b+ @1024² stage-3 global
+# attention at T=8 frames (n = 8 frames x 8 heads, 4096 x 4096), which alone
+# OOMs a 16 GB v5e during the production MOSE-recipe train step. Chunking the
+# query axis bounds the live logit temps to SAM2_TPU_BWD_LOGIT_MB (combined,
+# default 512 MB) while keeping every matmul MXU-sized; dk/dv accumulate
+# across chunks in a lax.scan carry. Exact (recompute) gradients either way.
+# --------------------------------------------------------------------------- #
+
+
+def _bwd_chunk_rows(n: int, sq: int, skv: int) -> int:
+    """Query rows per backward chunk: largest 128-aligned divisor of sq whose
+    two [n, rows, skv] fp32 logit temps fit the SAM2_TPU_BWD_LOGIT_MB budget."""
+    import os
+
+    budget = int(os.environ.get("SAM2_TPU_BWD_LOGIT_MB", "512")) << 20
+    rows = budget // max(2 * n * skv * 4, 1)
+    if rows >= sq:
+        return sq
+    rows = max(rows, 128)
+    nch = -(-sq // rows)
+    # sq is padded to a 128 multiple by the wrappers, so a divisor exists
+    while sq % nch and nch < sq:
+        nch += 1
+    return max(sq // nch, 1)
+
+
+def _softmax_bwd_core(scale, q, k, v, maskf, do):
+    """dq, dk, dv (fp32) of sum(do * softmax(mask(q k^T * scale)) v).
+
+    q/do [n, sq, d] and k/v [n, skv, d] stay in their source dtype so bf16
+    training gets bf16 MXU-rate matmuls (fp32 accumulation via
+    preferred_element_type, like the forward kernel); the softmax recompute
+    and the probability/ds normalizations are fp32, with p/ds rounded to the
+    source dtype only as matmul INPUTS — the standard flash-attention
+    backward precision contract. maskf [n or 1, 1, skv]."""
+    n, sq, _ = q.shape
+    skv = k.shape[1]
+    f32 = jnp.float32
+
+    def chunk_grads(qc, doc):
+        s = jnp.einsum("nqd,nkd->nqk", qc, k, preferred_element_type=f32)
+        s = jnp.where(maskf > 0, s * scale, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        # zero fully-masked rows (m == NEG_INF -> p would be uniform over
+        # the MASKED tokens); l is never 0 for rows with any valid key
+        p = jnp.where(m > NEG_INF * 0.5, p / jnp.where(l == 0.0, 1.0, l), 0.0)
+        dv = jnp.einsum("nqk,nqd->nkd", p.astype(v.dtype), doc,
+                        preferred_element_type=f32)
+        dp = jnp.einsum("nqd,nkd->nqk", doc, v, preferred_element_type=f32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsl = ds.astype(k.dtype)
+        dq = jnp.einsum("nqk,nkd->nqd", dsl, k,
+                        preferred_element_type=f32) * scale
+        dk = jnp.einsum("nqk,nqd->nkd", dsl, qc,
+                        preferred_element_type=f32) * scale
+        return dq, dk, dv
+
+    cq = _bwd_chunk_rows(n, sq, skv)
+    if cq >= sq:
+        return chunk_grads(q, do)
+    nch = sq // cq
+    qs = q.reshape(n, nch, cq, -1).swapaxes(0, 1)
+    dos = do.reshape(n, nch, cq, -1).swapaxes(0, 1)
+
+    def body(carry, x):
+        dk_acc, dv_acc = carry
+        dqc, dkc, dvc = chunk_grads(*x)
+        return (dk_acc + dkc, dv_acc + dvc), dqc
+
+    zeros = lambda r: jnp.zeros(r.shape, f32)
+    (dk, dv), dqs = jax.lax.scan(body, (zeros(k), zeros(v)), (qs, dos))
+    dq = dqs.swapaxes(0, 1).reshape(n, sq, -1)
+    return dq, dk, dv
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def _attn_core_rope(scale, bq, bk, interpret, d_half, fast, qf, kf, vf, maskf,
                     cosf, sinf):
@@ -269,26 +350,14 @@ def _attn_rope_fwd(scale, bq, bk, interpret, d_half, fast, qf, kf, vf, maskf,
 
 def _attn_rope_bwd(scale, bq, bk, interpret, d_half, fast, res, do):
     qf, kf, vf, maskf, cosf, sinf = res
-    q32 = qf.astype(jnp.float32)
     c32 = cosf.astype(jnp.float32)[None]  # [1, skv, d_half]
     s32 = sinf.astype(jnp.float32)[None]
-    k32 = apply_rotary_split(kf.astype(jnp.float32), c32, s32)
-    v32 = vf.astype(jnp.float32)
-    do32 = do.astype(jnp.float32)
-    s = jnp.einsum("nqd,nkd->nqk", q32, k32) * scale
-    s = jnp.where(maskf > 0, s, NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    # zero fully-masked rows (m == NEG_INF -> p would be uniform over the
-    # MASKED tokens); l is never 0 for rows with any valid key
-    p = jnp.where(m > NEG_INF * 0.5, p / jnp.where(l == 0.0, 1.0, l), 0.0)
-    dv = jnp.einsum("nqk,nqd->nkd", p, do32)
-    dp = jnp.einsum("nqd,nkd->nqk", do32, v32)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("nqk,nkd->nqd", ds, k32) * scale
-    dkr = jnp.einsum("nqk,nqd->nkd", ds, q32) * scale
-    # transpose of the forward rotation = rotation by -theta
+    # rotate K in its source dtype, exactly like the forward kernel does
+    kr = apply_rotary_split(kf, cosf[None].astype(kf.dtype),
+                            sinf[None].astype(kf.dtype))
+    dq, dkr, dv = _softmax_bwd_core(scale, qf, kr, vf, maskf,
+                                    do.astype(qf.dtype))
+    # transpose of the forward rotation = rotation by -theta (fp32 cotangent)
     dk = apply_rotary_split(dkr, c32, -s32)
     return (
         dq.astype(qf.dtype),
@@ -359,41 +428,30 @@ def _attn_rope_kvproj_fwd(scale, bq, bk, interpret, d_half, qf, kf, vf,
 def _attn_rope_kvproj_bwd(scale, bq, bk, interpret, d_half, res, do):
     qf, kf, vf, wk, bkb, wv, bvb, maskf, cosf, sinf = res
     in_dt = qf.dtype
-    q32 = qf.astype(jnp.float32)
-    k64 = kf.astype(jnp.float32)
-    v64 = vf.astype(jnp.float32)
-    wk32 = wk.astype(jnp.float32)
-    wv32 = wv.astype(jnp.float32)
-    c32 = cosf.astype(jnp.float32)[None]
-    s32 = sinf.astype(jnp.float32)[None]
-    do32 = do.astype(jnp.float32)
-    # recompute (mirroring the kernel's bf16 projection output rounding is
-    # not needed for gradient accuracy — fp32 recompute is the standard
-    # flash-attention backward tradeoff)
-    kp = jnp.einsum("nsm,md->nsd", k64, wk32) + bkb.astype(jnp.float32)[None]
-    krot = apply_rotary_split(kp, c32, s32)
-    vp = jnp.einsum("nsm,md->nsd", v64, wv32) + bvb.astype(jnp.float32)[None]
-    s = jnp.einsum("nqd,nkd->nqk", q32, krot) * scale
-    s = jnp.where(maskf > 0, s, NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    # zero fully-masked rows (m == NEG_INF -> p would be uniform over the
-    # MASKED tokens); l is never 0 for rows with any valid key
-    p = jnp.where(m > NEG_INF * 0.5, p / jnp.where(l == 0.0, 1.0, l), 0.0)
-    dvp = jnp.einsum("nqk,nqd->nkd", p, do32)
-    dp = jnp.einsum("nqd,nkd->nqk", do32, vp)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("nqk,nkd->nqd", ds, krot) * scale
-    dkrot = jnp.einsum("nqk,nqd->nkd", ds, q32) * scale
+    f32 = jnp.float32
+    c32 = cosf.astype(f32)[None]
+    s32 = sinf.astype(f32)[None]
+    # recompute the projected K/V in the kernel's precision (source-dtype
+    # matmul inputs, fp32 accumulation, projection output rounded to the
+    # source dtype) — the standard flash-attention backward tradeoff
+    kp = (jnp.einsum("nsm,md->nsd", kf, wk, preferred_element_type=f32)
+          + bkb.astype(f32)[None]).astype(in_dt)
+    krot = apply_rotary_split(kp, cosf[None].astype(in_dt),
+                              sinf[None].astype(in_dt))
+    vp = (jnp.einsum("nsm,md->nsd", vf, wv, preferred_element_type=f32)
+          + bvb.astype(f32)[None]).astype(in_dt)
+    dq, dkrot, dvp = _softmax_bwd_core(scale, qf, krot, vp, maskf,
+                                       do.astype(in_dt))
     # inverse rotation (= rotation by -theta), then the projection chain rule
     dkp = apply_rotary_split(dkrot, c32, -s32)
-    dwk = jnp.einsum("nsm,nsd->md", k64, dkp)
+    dkp_l = dkp.astype(in_dt)
+    dvp_l = dvp.astype(in_dt)
+    dwk = jnp.einsum("nsm,nsd->md", kf, dkp_l, preferred_element_type=f32)
     dbk = jnp.sum(dkp, axis=(0, 1), keepdims=False)[None]
-    dkf = jnp.einsum("nsd,md->nsm", dkp, wk32)
-    dwv = jnp.einsum("nsm,nsd->md", v64, dvp)
+    dkf = jnp.einsum("nsd,md->nsm", dkp_l, wk, preferred_element_type=f32)
+    dwv = jnp.einsum("nsm,nsd->md", vf, dvp_l, preferred_element_type=f32)
     dbv = jnp.sum(dvp, axis=(0, 1), keepdims=False)[None]
-    dvf = jnp.einsum("nsd,md->nsm", dvp, wv32)
+    dvf = jnp.einsum("nsd,md->nsm", dvp_l, wv, preferred_element_type=f32)
     return (
         dq.astype(in_dt),
         dkf.astype(kf.dtype),
@@ -486,23 +544,8 @@ def _attn_fwd(scale, bq, bk, interpret, fast, qf, kf, vf, maskf):
 
 def _attn_bwd(scale, bq, bk, interpret, fast, res, do):
     qf, kf, vf, maskf = res
-    q32 = qf.astype(jnp.float32)
-    k32 = kf.astype(jnp.float32)
-    v32 = vf.astype(jnp.float32)
-    do32 = do.astype(jnp.float32)
-    s = jnp.einsum("nqd,nkd->nqk", q32, k32) * scale
-    s = jnp.where(maskf > 0, s, NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    # zero fully-masked rows (m == NEG_INF -> p would be uniform over the
-    # MASKED tokens); l is never 0 for rows with any valid key
-    p = jnp.where(m > NEG_INF * 0.5, p / jnp.where(l == 0.0, 1.0, l), 0.0)
-    dv = jnp.einsum("nqk,nqd->nkd", p, do32)
-    dp = jnp.einsum("nqd,nkd->nqk", do32, v32)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("nqk,nkd->nqd", ds, k32) * scale
-    dk = jnp.einsum("nqk,nqd->nkd", ds, q32) * scale
+    dq, dk, dv = _softmax_bwd_core(scale, qf, kf, vf, maskf,
+                                   do.astype(qf.dtype))
     return (
         dq.astype(qf.dtype),
         dk.astype(kf.dtype),

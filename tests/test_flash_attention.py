@@ -540,3 +540,107 @@ def test_wide_block_gate_sees_vmap(monkeypatch):
     bq8, _ = _default_blocks(jnp.zeros((8, 1, 4096, 256), jnp.bfloat16), k,
                              True, None, None)
     assert bq8 == 1024
+
+
+def test_chunked_backward_matches_sdpa(monkeypatch):
+    """The q-chunked softmax-recompute backward (SAM2_TPU_BWD_LOGIT_MB — the
+    bound that fits the hiera-b+ @1024² T=8 train step on a 16 GB v5e) must
+    produce the same gradients as SDPA autodiff. A 1 MB budget forces maximum
+    chunking (128-row chunks) on both the plain-mask and rope-fused paths."""
+    from sam2_opt_tpu.kernels.flash_attention import (
+        _bwd_chunk_rows,
+        flash_attention,
+    )
+    from sam2_opt_tpu.ops.common import scaled_dot_product_attention
+    from sam2_opt_tpu.ops import posenc
+
+    monkeypatch.setenv("SAM2_TPU_BWD_LOGIT_MB", "1")
+    assert _bwd_chunk_rows(4, 512, 512) == 128  # chunking actually active
+
+    rng = np.random.default_rng(21)
+    B, H, S, D = 2, 2, 512, 64
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, S, D)) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)) * 0.3, jnp.float32)
+    m = np.ones((B, S), bool)
+    m[:, 490:] = False
+    mask = jnp.asarray(m)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, kv_mask=mask, block_q=128, block_k=128,
+                            interpret=True)
+        return jnp.sum(o * o)
+
+    def loss_sdpa(q, k, v):
+        o = scaled_dot_product_attention(q, k, v, mask=mask[:, None, None, :])
+        return jnp.sum(o * o)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gs = jax.grad(loss_sdpa, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gs, "qkv"):
+        err = float(jnp.max(jnp.abs(a - b)))
+        assert err < 1e-4, f"d{name} err {err} (chunked plain backward)"
+
+    # rope-fused path (split channel layout, identity rows for the last keys)
+    half = D // 2
+    pos = np.arange(S, dtype=np.float32)
+    inv = 1.0 / (10000.0 ** (np.arange(half, dtype=np.float32) / half))
+    ang = pos[:, None] * inv[None, :]
+    cos = jnp.asarray(np.cos(ang), jnp.float32)
+    sin = jnp.asarray(np.sin(ang), jnp.float32)
+    cos_id = jnp.concatenate([cos[:-32], jnp.ones((32, half))], axis=0)
+    sin_id = jnp.concatenate([sin[:-32], jnp.zeros((32, half))], axis=0)
+
+    def loss_rope(q, k, v):
+        qr = posenc.apply_rotary_split(q, cos, sin)
+        o = flash_attention(qr, k, v, kv_mask=mask, rope_cos_k=cos_id,
+                            rope_sin_k=sin_id, block_q=128, block_k=128,
+                            interpret=True)
+        return jnp.sum(o * o)
+
+    def loss_rope_ref(q, k, v):
+        qr = posenc.apply_rotary_split(q, cos, sin)
+        kr = posenc.apply_rotary_split(k, cos_id[None, None], sin_id[None, None])
+        o = scaled_dot_product_attention(qr, kr, v,
+                                         mask=mask[:, None, None, :])
+        return jnp.sum(o * o)
+
+    gr = jax.grad(loss_rope, argnums=(0, 1, 2))(q, k, v)
+    gr_ref = jax.grad(loss_rope_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gr, gr_ref, "qkv"):
+        err = float(jnp.max(jnp.abs(a - b)))
+        assert err < 1e-4, f"d{name} err {err} (chunked rope backward)"
+
+
+def test_chunked_backward_bf16_inputs():
+    """bf16 inputs keep bf16 MXU-rate matmuls in the backward (fp32
+    accumulation; p/ds rounded to bf16 only as matmul inputs). Gradients must
+    stay within bf16 rounding distance of the fp32 SDPA reference."""
+    from sam2_opt_tpu.kernels.flash_attention import flash_attention
+    from sam2_opt_tpu.ops.common import scaled_dot_product_attention
+
+    rng = np.random.default_rng(23)
+    B, H, S, D = 1, 2, 256, 64
+    qn = rng.standard_normal((B, H, S, D)) * 0.3
+    kn = rng.standard_normal((B, H, S, D)) * 0.3
+    vn = rng.standard_normal((B, H, S, D)) * 0.3
+    qb, kb, vb = (jnp.asarray(a, jnp.bfloat16) for a in (qn, kn, vn))
+    q32, k32, v32 = (jnp.asarray(a, jnp.float32) for a in (qn, kn, vn))
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_sdpa(q, k, v):
+        o = scaled_dot_product_attention(q, k, v)
+        return jnp.sum(o ** 2)
+
+    gb = jax.grad(loss_flash, argnums=(0, 1, 2))(qb, kb, vb)
+    gs = jax.grad(loss_sdpa, argnums=(0, 1, 2))(q32, k32, v32)
+    for a, b, name in zip(gb, gs, "qkv"):
+        a32 = np.asarray(a, np.float32)
+        b32 = np.asarray(b)
+        assert a.dtype == jnp.bfloat16
+        denom = max(float(np.abs(b32).max()), 1e-3)
+        rel = float(np.abs(a32 - b32).max()) / denom
+        assert rel < 0.06, f"d{name} rel err {rel} (bf16 chunked backward)"

@@ -91,6 +91,13 @@ def multistep_multimasks_and_ious(
                        "loss_class": 1.0}
     losses = {"loss_mask": 0.0, "loss_dice": 0.0, "loss_iou": 0.0,
               "loss_class": 0.0}
+    # loss math always in fp32, whatever the rollout's compute dtype: under
+    # bf16 mixed-precision training (TrainConfig.compute_dtype) the logits
+    # arrive bf16, and log-sigmoid/focal terms lose too much precision there
+    # (torch autocast similarly pins binary_cross_entropy_with_logits to fp32)
+    outs_multimasks = [m.astype(jnp.float32) for m in outs_multimasks]
+    outs_ious = [i.astype(jnp.float32) for i in outs_ious]
+    outs_obj_scores = [s.astype(jnp.float32) for s in outs_obj_scores]
     for masks, ious, obj_scores in zip(outs_multimasks, outs_ious, outs_obj_scores):
         target = jnp.broadcast_to(
             target_masks.astype(jnp.float32), masks.shape

@@ -247,6 +247,7 @@ def forward_tracking(
     use_mask_input: bool = False,
     num_correction_clicks: int = 1,
     use_remat: bool = True,
+    remat_frames: bool = False,
     frames_to_add_correction_pt: Tuple[int, ...] = (),
     obj_valid=None,
 ):
@@ -303,56 +304,77 @@ def forward_tracking(
         f0, f1, f2 = frame_feats(t)
         is_init = t < num_init_cond_frames
 
-        if is_init:
-            pix_feat = base.no_mem_features(params, f2)
-            if use_mask_input:
-                coords = labels = None
-            else:
-                coords, labels = _init_prompt(k1, gt_t, use_box_input)
-        else:
-            mem = _training_memory(
-                cfg, t, T, cond_mems, noncond_mems, cond_ptrs, noncond_ptrs,
-                mem_cap, ptr_cap,
-            )
-            pix_feat = vc.condition_on_memory(params, cfg, f2, mem)
-            coords = jnp.zeros((B, 1, 2), jnp.float32)
-            labels = -jnp.ones((B, 1), jnp.int32)
-
-        def sam_step(coords, labels, mask_prompt=None):
-            return base.forward_sam_heads(
-                params, cfg, pix_feat, coords, labels,
-                mask_inputs=mask_prompt, high_res_features=(f0, f1),
-                multimask_output=True,
-            )
-
-        if is_init and use_mask_input:
-            # GT-mask-as-prompt init frame (reference use_mask_input path,
-            # sam2_base_official.py:496 _use_mask_as_output)
-            outs = base.use_mask_as_output(
-                params, cfg, pix_feat, (f0, f1), gt_t.astype(jnp.float32)
-            )
-        else:
-            outs = sam_step(coords, labels)
-        (low_mm, high_mm, ious, low_res, high_res, obj_ptr, obj_score) = outs
-        step_masks = [high_mm]
-        step_ious = [ious]
-        step_scores = [obj_score]
-
-        # iterative correction clicks (reference _iter_correct_pt_sampling
-        # :448-529): on init frames under point input, AND on any tracked
-        # frame listed in frames_to_add_correction_pt (for those, the SAM
-        # heads re-run on the memory-conditioned features with the previous
-        # tracking logits as the mask prompt — model/sam2.py:405-447). Every
-        # step is appended for loss supervision.
+        # correction clicks apply on init frames under point input, AND on
+        # any tracked frame listed in frames_to_add_correction_pt (reference
+        # _iter_correct_pt_sampling :448-529 + model/sam2.py:405-447)
         correct_here = (
             (is_init and not use_mask_input)
             or (not is_init and t in frames_to_add_correction_pt)
         )
-        if correct_here and num_correction_clicks > 0:
-            for _ in range(num_correction_clicks):
-                rng, kc = jax.random.split(rng)
+        n_clicks = num_correction_clicks if correct_here else 0
+        # pre-split the correction keys with the EXACT same rng threading as
+        # before the frame body became checkpointable (parity-sensitive)
+        click_keys = []
+        for _ in range(n_clicks):
+            rng, kc = jax.random.split(rng)
+            click_keys.append(kc)
+        click_keys = jnp.stack(click_keys) if click_keys else None
+        mem = None
+        if not is_init:
+            mem = _training_memory(
+                cfg, t, T, cond_mems, noncond_mems, cond_ptrs, noncond_ptrs,
+                mem_cap, ptr_cap,
+            )
+
+        # the whole per-frame step (memory conditioning + SAM heads +
+        # correction clicks + memory encoder) as one function of arrays so
+        # `remat_frames` can jax.checkpoint it: the backward pass then
+        # recomputes one frame at a time instead of keeping every frame's
+        # memory-attention/FFN intermediates live — together with
+        # HieraConfig.remat_blocks this is what fits the hiera-b+ @1024²
+        # 8-frame MOSE rollout on one 16 GB v5e chip
+        def one_frame(params, f0, f1, f2, gt_t, mem, k1, click_keys,
+                      _is_init=is_init, _n_clicks=n_clicks):
+            if _is_init:
+                pix_feat = base.no_mem_features(params, f2)
+                if use_mask_input:
+                    coords = labels = None
+                else:
+                    coords, labels = _init_prompt(k1, gt_t, use_box_input)
+            else:
+                pix_feat = vc.condition_on_memory(params, cfg, f2, mem)
+                Bo = gt_t.shape[0]
+                coords = jnp.zeros((Bo, 1, 2), jnp.float32)
+                labels = -jnp.ones((Bo, 1), jnp.int32)
+
+            def sam_step(coords, labels, mask_prompt=None):
+                return base.forward_sam_heads(
+                    params, cfg, pix_feat, coords, labels,
+                    mask_inputs=mask_prompt, high_res_features=(f0, f1),
+                    multimask_output=True,
+                )
+
+            if _is_init and use_mask_input:
+                # GT-mask-as-prompt init frame (reference use_mask_input
+                # path, sam2_base_official.py:496 _use_mask_as_output)
+                outs = base.use_mask_as_output(
+                    params, cfg, pix_feat, (f0, f1),
+                    gt_t.astype(jnp.float32)
+                )
+            else:
+                outs = sam_step(coords, labels)
+            (low_mm, high_mm, ious, low_res, high_res, obj_ptr,
+             obj_score) = outs
+            step_masks = [high_mm]
+            step_ious = [ious]
+            step_scores = [obj_score]
+
+            # every correction step is appended for loss supervision
+            for ci in range(_n_clicks):
                 pred_bin = high_res > 0
-                c2, l2 = sample_random_points_from_errors(kc, gt_t, pred_bin)
+                c2, l2 = sample_random_points_from_errors(
+                    click_keys[ci], gt_t, pred_bin
+                )
                 coords = jnp.concatenate([coords, c2], axis=1)
                 labels = jnp.concatenate([labels, l2], axis=1)
                 mask_prompt = jnp.transpose(
@@ -365,23 +387,28 @@ def forward_tracking(
                 step_ious.append(ious)
                 step_scores.append(obj_score)
 
-        outs_masks.append(step_masks)
-        outs_ious.append(step_ious)
-        outs_scores.append(step_scores)
-        target_list.append(gt_t)
+            # encode this frame into memory for the next frames;
+            # is_mask_from_pts follows the reference: True iff this frame
+            # had POINT inputs (model/sam2.py track_step passes point_inputs
+            # to _encode_memory_in_output — mask-prompt init frames are
+            # False, and plain tracked frames only become True via
+            # correction clicks)
+            had_points = (_is_init and not use_mask_input) or _n_clicks > 0
+            maskmem, _ = base.encode_new_memory(
+                params, cfg, f2, high_res, obj_score,
+                is_mask_from_pts=had_points,
+            )
+            return (tuple(step_masks), tuple(step_ious),
+                    tuple(step_scores), maskmem, obj_ptr)
 
-        # encode this frame into memory for the next frames; is_mask_from_pts
-        # follows the reference: True iff this frame had POINT inputs
-        # (model/sam2.py track_step passes point_inputs to
-        # _encode_memory_in_output — mask-prompt init frames are False, and
-        # plain tracked frames only become True via correction clicks)
-        had_points = (is_init and not use_mask_input) or (
-            correct_here and num_correction_clicks > 0
+        frame_fn = jax.checkpoint(one_frame) if remat_frames else one_frame
+        step_masks, step_ious, step_scores, maskmem, obj_ptr = frame_fn(
+            params, f0, f1, f2, gt_t, mem, k1, click_keys
         )
-        maskmem, _ = base.encode_new_memory(
-            params, cfg, f2, high_res, obj_score,
-            is_mask_from_pts=had_points,
-        )
+        outs_masks.append(list(step_masks))
+        outs_ious.append(list(step_ious))
+        outs_scores.append(list(step_scores))
+        target_list.append(gt_t)
         if obj_valid is not None:
             # Padded object slots never enter memory (the reference trains
             # only real objects, training/utils/data_utils.py:36-128). The

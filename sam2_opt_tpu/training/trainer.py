@@ -77,6 +77,13 @@ class TrainConfig:
     # activation memory). Batch size must be divisible by
     # grad_accum_steps * dp for balanced DP accumulation.
     grad_accum_steps: int = 1
+    # "bfloat16" = mixed precision: the rollout (encoder, memory attention,
+    # SAM heads) computes in bf16 while master weights, loss math
+    # (losses.py pins loss terms to fp32), gradients, and the optimizer stay
+    # fp32 — the reference MOSE recipe's `amp: bfloat16`
+    # (configs/sam2.1_training/sam2.1_hiera_b+_MOSE_finetune.yaml). bf16
+    # doubles MXU rate and halves activation memory on TPU.
+    compute_dtype: str = "float32"
 
 
 def build_train_step(model_cfg: SAM2Config, tcfg: TrainConfig, optimizer,
@@ -99,10 +106,22 @@ def build_train_step(model_cfg: SAM2Config, tcfg: TrainConfig, optimizer,
             cfg, trunk=dataclasses.replace(cfg.trunk, remat_blocks=True)
         )
     use_remat = tcfg.remat != "none"
+    # "blocks" also checkpoints each frame's track step (memory attention +
+    # SAM heads + memory encoder) so the backward recomputes one frame at a
+    # time — required alongside remat_blocks for b+ @1024² T=8 on 16 GB
+    remat_frames = tcfg.remat == "blocks"
     frozen_encoder = tcfg.freeze_image_encoder
     accum = max(int(tcfg.grad_accum_steps), 1)
+    compute_dtype = jnp.dtype(tcfg.compute_dtype)
 
     def loss_fn(params, images, masks, obj_valid, rng):
+        if compute_dtype != jnp.float32:
+            # mixed precision: bf16 compute params/images; jax transposes
+            # the casts into fp32 gradient accumulation automatically
+            from sam2_opt_tpu.models.model import _cast_tree
+
+            params = _cast_tree(params, compute_dtype)
+            images = images.astype(compute_dtype)
         B = images.shape[0]
         keys = jax.random.split(rng, B)
 
@@ -116,6 +135,7 @@ def build_train_step(model_cfg: SAM2Config, tcfg: TrainConfig, optimizer,
                 num_init_cond_frames=n_init,
                 frames_to_add_correction_pt=correct_frames,
                 use_remat=use_remat,
+                remat_frames=remat_frames,
             )
 
         # vmap over the video batch (the reference python-loops videos;

@@ -339,6 +339,55 @@ def test_remat_blocks_matches_encoder_remat(tiny128_cfg, tiny128_params):
         )
 
 
+def test_compute_dtype_bfloat16_mixed_precision(tiny128_cfg, tiny128_params):
+    """compute_dtype="bfloat16" (the reference MOSE recipe's `amp: bfloat16`)
+    runs the rollout in bf16 while master weights stay fp32 and the loss math
+    is pinned to fp32 (losses.py): the post-step params must remain fp32,
+    must have MOVED, and the loss must agree with the fp32 step to bf16
+    rounding tolerance."""
+    from sam2_opt_tpu.training.optimizer import build_optimizer
+    from sam2_opt_tpu.training.trainer import TrainConfig, build_train_step
+
+    cfg = tiny128_cfg
+    B, T = 2, 2
+    rng = np.random.default_rng(17)
+    images = jnp.asarray(rng.random((B, T, 128, 128, 3)), jnp.float32)
+    masks = np.zeros((B, T, 1, 128, 128), bool)
+    masks[:, :, :, 20:80, 50:110] = True
+    masks = jnp.asarray(masks)
+    ov = jnp.ones((B, 1), bool)
+    key = jax.random.PRNGKey(2)
+    lr = jnp.float32(1e-4)
+
+    outs = {}
+    for dt in ("float32", "bfloat16"):
+        params = jax.tree_util.tree_map(jnp.copy, tiny128_params)
+        tcfg = TrainConfig(
+            batch_size=B, num_frames=T, num_correction_clicks=1,
+            compute_dtype=dt,
+        )
+        optimizer = build_optimizer(params, trunk_depth=cfg.trunk.depth)
+        step = build_train_step(cfg, tcfg, optimizer)
+        new_params, _, metrics = step(
+            params, optimizer.init(params), images, masks, ov, key, lr
+        )
+        outs[dt] = (float(metrics["loss"]), new_params)
+
+    l32, p32 = outs["float32"]
+    l16, p16 = outs["bfloat16"]
+    assert np.isfinite(l16)
+    # bf16 rollout rounding shifts the loss a little, not qualitatively
+    assert abs(l16 - l32) / max(abs(l32), 1e-6) < 0.1, (l16, l32)
+    moved = False
+    for a, b in zip(jax.tree_util.tree_leaves(tiny128_params),
+                    jax.tree_util.tree_leaves(p16)):
+        # master weights stay in the original (fp32) dtype under bf16 compute
+        assert b.dtype == a.dtype
+        assert np.isfinite(np.asarray(b)).all()
+        moved = moved or not np.array_equal(np.asarray(a), np.asarray(b))
+    assert moved, "bf16 step did not update the params"
+
+
 def test_coco_rle_roundtrip():
     from sam2_opt_tpu.training.data import decode_coco_rle, encode_coco_rle
 

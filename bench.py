@@ -170,6 +170,157 @@ def main():
          "frames/s/chip", BASELINE_VIDEO_FPS)
 
     # ------------------------------------------------------------------ #
+    # 2b. 8-object tracking (BASELINE config #4, beyond-reference story:
+    #     the reference loops objects at batch 1 — 8 x 44 ms on TRT-A100).
+    #     Shared frame encode + object-batched track step. BENCH_MULTI_OBJ=0
+    #     skips; the full 1/2/4/8/16 sweep is tools/bench_multi_object.py.
+    # ------------------------------------------------------------------ #
+    if os.environ.get("BENCH_MULTI_OBJ", "1") != "0":
+        B8 = 8
+        metric8 = f"video_propagation_8obj_{variant}_obj_fps"
+        try:
+            tpos8 = jnp.broadcast_to(tpos_idx, (B8, S))
+            valid8 = jnp.ones((B8, S), bool)
+            ptr_pos8 = jnp.broadcast_to(ptr_pos, (B8, P))
+            ptr_valid8 = jnp.ones((B8, P), bool)
+
+            @partial(jax.jit, static_argnames=("k",))
+            def video8_k(p, x, k):
+                def body(i, carry):
+                    mem_feats, ptrs, acc = carry
+                    y = x + (acc * 1e-6).astype(x.dtype)
+                    out = base.forward_image(p, cfg, base.image_normalize(y))
+                    f0, f1, f2 = out["backbone_fpn"]
+                    f0 = jnp.repeat(f0, B8, axis=0)
+                    f1 = jnp.repeat(f1, B8, axis=0)
+                    f2 = jnp.repeat(f2, B8, axis=0)
+                    mem = vc.MemoryInput(
+                        feats=tuple(mem_feats[j] for j in range(S)),
+                        tpos_idx=tpos8, valid=valid8,
+                        ptrs=tuple(ptrs[j] for j in range(P)),
+                        ptr_pos=ptr_pos8, ptr_valid=ptr_valid8,
+                    )
+                    o = vc.track_step_conditioned(
+                        p, cfg, (f0, f1, f2), mem,
+                        multimask_output=multimask, run_mem_encoder=True,
+                    )
+                    nm = jnp.concatenate(
+                        [o["maskmem_features"][None], mem_feats[:-1]], axis=0
+                    )
+                    npp = jnp.concatenate([o["obj_ptr"][None], ptrs[:-1]],
+                                          axis=0)
+                    return nm, npp, jnp.mean(
+                        o["pred_masks"].astype(jnp.float32))
+
+                m0 = jnp.zeros((S, B8, g, g, D), jnp.bfloat16)
+                p0 = jnp.zeros((P, B8, C), jnp.float32)
+                return jax.lax.fori_loop(0, k, body,
+                                         (m0, p0, jnp.float32(0.0)))[2]
+
+            per_frame8 = _diff_rate(lambda k: video8_k(params, img, k), 2, 8,
+                                    f"8-object video propagation {variant}")
+            # per-OBJECT rate vs the reference's per-object loop baseline
+            emit(metric8, per_frame8 / B8, "objects/s/chip",
+                 BASELINE_VIDEO_FPS)
+        except Exception as e:
+            print(f"[bench] multi-object section failed, skipping: {e!r}",
+                  file=sys.stderr)
+            print(json.dumps({"metric": metric8, "value": None,
+                              "error": repr(e)[:300]}), flush=True)
+
+    # ------------------------------------------------------------------ #
+    # 2c. production-shape training step (the reference MOSE recipe shape:
+    #     hiera-b+ @1024², 8-frame interactive rollout with 2 correction
+    #     clicks — sam2/training/README.md:68). Full fwd+bwd+AdamW/LLRD
+    #     update with per-block remat, measured with the same in-graph
+    #     differencing. BENCH_TRAIN=0 skips. No reference per-step baseline
+    #     exists (it publishes only the final J&F), so vs_baseline is null.
+    # ------------------------------------------------------------------ #
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        tvariant = os.environ.get("BENCH_TRAIN_VARIANT", "hiera_b+")
+        t_frames = int(os.environ.get("BENCH_TRAIN_FRAMES", "8"))
+        # bf16 mixed-precision compute by default — the reference MOSE
+        # recipe trains under `amp: bfloat16` (fp32 master weights, loss
+        # math and optimizer; see TrainConfig.compute_dtype)
+        t_dtype = os.environ.get("BENCH_TRAIN_DTYPE", "bfloat16")
+        _ts = model_config(tvariant).image_size
+        metric_t = (f"train_step_{tvariant}_{_ts}px_T{t_frames}"
+                    f"_{'bf16' if t_dtype == 'bfloat16' else t_dtype}_sps")
+        try:
+            import dataclasses
+
+            import optax
+
+            from sam2_opt_tpu.models.model import _cast_tree as _ct
+            from sam2_opt_tpu.training import sam2_train
+            from sam2_opt_tpu.training.optimizer import build_optimizer
+
+            tcfg_m = model_config(tvariant)
+            tcfg_m = dataclasses.replace(
+                tcfg_m,
+                trunk=dataclasses.replace(tcfg_m.trunk, remat_blocks=True),
+            )
+            st = tcfg_m.image_size
+            nobj = 3  # MOSE recipe max_num_objects
+            params_t = init_params(tcfg_m, jax.random.PRNGKey(1))
+            optimizer = build_optimizer(params_t,
+                                        trunk_depth=tcfg_m.trunk.depth)
+            opt_state0 = optimizer.init(params_t)
+            imgs_t = jnp.asarray(
+                rng.random((t_frames, st, st, 3), np.float32))
+            gt_np = np.zeros((t_frames, nobj, st, st), bool)
+            for o_i in range(nobj):
+                gt_np[:, o_i, 100 * o_i + 50: 100 * o_i + 350,
+                      200: 600] = True
+            gt_t = jnp.asarray(gt_np)
+            lr = jnp.float32(3e-6)
+
+            def loss_fn(p, im, gt, key):
+                if t_dtype != "float32":
+                    p = _ct(p, jnp.dtype(t_dtype))
+                    im = im.astype(jnp.dtype(t_dtype))
+                loss, _ = sam2_train.video_train_loss(
+                    p, tcfg_m, im, gt, key,
+                    num_correction_clicks=2, use_remat=True,
+                    remat_frames=True,
+                )
+                return loss
+
+            # images/gt are ARGUMENTS, not closure constants: a baked-in
+            # [T,1024,1024,3] literal gets a T(4,128) padded layout (3->128
+            # channels, 21x expansion = 2 GB of the 15.75 GB chip; measured
+            # OOM) while an argument keeps the dense default layout
+            @partial(jax.jit, static_argnames=("k",), donate_argnums=())
+            def train_k(p, opt_state, im, gt, k):
+                def body(i, carry):
+                    p, s = carry
+                    key = jax.random.fold_in(jax.random.PRNGKey(2), i)
+                    _, grads = jax.value_and_grad(loss_fn)(p, im, gt, key)
+                    updates, s = optimizer.update(grads, s, p, lr)
+                    return optax.apply_updates(p, updates), s
+
+                p, _ = jax.lax.fori_loop(0, k, body, (p, opt_state))
+                return jnp.mean(p["no_obj_ptr"].astype(jnp.float32))
+
+            per_step = _diff_rate(
+                lambda k: train_k(params_t, opt_state0, imgs_t, gt_t, k), 1, 3,
+                f"train step {tvariant} @{st} T={t_frames}")
+            line = {
+                "metric": metric_t,
+                "value": round(1.0 / per_step, 4),
+                "unit": "steps/s/chip",
+                "vs_baseline": None,
+                "seconds_per_step": round(per_step, 3),
+            }
+            print(json.dumps(line), flush=True)
+            del params_t, opt_state0
+        except Exception as e:
+            print(f"[bench] train section failed, skipping: {e!r}",
+                  file=sys.stderr)
+            print(json.dumps({"metric": metric_t, "value": None,
+                              "error": repr(e)[:300]}), flush=True)
+
+    # ------------------------------------------------------------------ #
     # 3. int8 act-quant encoder (BASELINE config #5) — the counterpart of
     #    the reference's quantized TRT rows (doc/benchmark.md:25,37), with
     #    accuracy gated by tests/test_quant.py. On by default (BENCH_INT8=0
@@ -178,12 +329,19 @@ def main():
     if os.environ.get("BENCH_INT8", "1") != "0":
         int8_metrics = [
             f"image_encode_int8_{variant}_1024px_fps",
+            f"video_propagation_int8_tracking_{variant}_fps",
             f"video_propagation_int8_{variant}_fps",
         ]
         emitted = set()
         try:
-            from sam2_opt_tpu.quant.calibrate import collect_activation_scales
-            from sam2_opt_tpu.quant.int8 import quantize_params
+            from sam2_opt_tpu.quant.calibrate import (
+                collect_activation_scales,
+                collect_tracking_activation_scales,
+            )
+            from sam2_opt_tpu.quant.int8 import (
+                TRACKING_QUANT_PATTERN,
+                quantize_params,
+            )
 
             params_f32 = init_params(cfg, jax.random.PRNGKey(0))
             scales = collect_activation_scales(
@@ -199,6 +357,39 @@ def main():
                  "images/s/chip", BASELINE_IMAGE_FPS)
             emitted.add(int8_metrics[0])
 
+            # tracking-scope int8 (beyond the reference's encoder-only int8):
+            # memory-attention + SAM-transformer linears quantized too
+            # (quant_scope="tracking"). MEASURED NEGATIVE on v5e — default
+            # OFF (BENCH_INT8_TRACKING=1 re-measures): 37.0 ms/frame vs
+            # 22.7 ms encoder-only int8 — the per-projection activation
+            # quantize/dequantize passes on the 4096-token memattn
+            # activations cost more than the (small, already fast) linears
+            # save; the big attention matmuls stay bf16 either way. See
+            # doc/benchmark.md int8 notes.
+            if os.environ.get("BENCH_INT8_TRACKING", "0") != "0":
+                try:
+                    tscales = collect_tracking_activation_scales(
+                        params_f32, cfg, [np.asarray(img, np.float32)],
+                        pattern=TRACKING_QUANT_PATTERN, percentile=100.0,
+                    )
+                    tqparams = quantize_params(
+                        _cast_tree(params_f32, jnp.bfloat16),
+                        TRACKING_QUANT_PATTERN, tscales,
+                    )
+                    per_tqv = _diff_rate(
+                        lambda k: video_step_k(tqparams, img, k), 2, 12,
+                        f"int8-tracking video propagation {variant}")
+                    emit(f"video_propagation_int8_tracking_{variant}_fps",
+                         per_tqv, "frames/s/chip", BASELINE_VIDEO_FPS)
+                    del tqparams
+                except Exception as e:
+                    print(f"[bench] int8-tracking section failed, "
+                          f"skipping: {e!r}", file=sys.stderr)
+                    print(json.dumps({"metric": int8_metrics[1],
+                                      "value": None, "error": repr(e)[:300]}),
+                          flush=True)
+            emitted.add(int8_metrics[1])
+
             # int8-encoder video propagation (speedup("int8") on the video
             # predictor): tracking/memory stays bf16, like the reference's
             # encoder-only TRT int8 engines
@@ -206,7 +397,7 @@ def main():
                                 f"int8 video propagation {variant}")
             emit(f"video_propagation_int8_{variant}_fps", per_qv,
                  "frames/s/chip", BASELINE_VIDEO_FPS)
-            emitted.add(int8_metrics[1])
+            emitted.add(int8_metrics[2])
         except Exception as e:  # headline bf16 metrics are already printed
             print(f"[bench] int8 section failed, skipping: {e!r}",
                   file=sys.stderr)
@@ -217,7 +408,7 @@ def main():
             for m in int8_metrics:
                 if m not in emitted:
                     print(json.dumps(
-                        {"metric": m, "value": None, "error": repr(e)}
+                        {"metric": m, "value": None, "error": repr(e)[:300]}
                     ), flush=True)
 
 

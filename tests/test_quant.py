@@ -181,6 +181,92 @@ def test_video_predictor_speedup_int8(tmp_path, tiny128_cfg, tiny128_params):
     assert all(np.isfinite(m).all() for m in outs.values())
 
 
+def test_video_predictor_speedup_int8_tracking_scope(tmp_path, tiny128_cfg,
+                                                     tiny128_params):
+    """quant_scope="tracking" (beyond the reference's encoder-only int8,
+    quant_image_encoder.py:8-75): memory-attention and SAM-transformer
+    linears are act-quantized too — calibration drives the full track step —
+    and per-frame tracking masks stay within the mIoU gate of the fp32
+    parity path."""
+    from PIL import Image
+
+    from sam2_opt_tpu.models.model import SAM2Model
+    from sam2_opt_tpu.predictors.video import SAM2VideoPredictor
+    from sam2_opt_tpu.quant.int8 import is_quantized
+
+    rng = np.random.default_rng(8)
+    for i in range(2):
+        img = (rng.random((128, 128, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(tmp_path / f"calib{i}.jpg")
+
+    frames = (rng.random((3, 128, 128, 3)) * 255).astype(np.uint8)
+    pt = dict(points=np.array([[40.0, 60.0]], np.float32),
+              labels=np.array([1], np.int32))
+
+    def track(vp):
+        st = vp.init_state(frames)
+        vp.add_new_points_or_box(st, 0, 1, **pt)
+        return {f: np.asarray(m) for f, _, m in vp.propagate_in_video(st)}
+
+    ref_vp = SAM2VideoPredictor(
+        SAM2Model(jax.tree_util.tree_map(jnp.copy, tiny128_params),
+                  tiny128_cfg),
+        fill_hole_area=0,
+    )
+    ref = track(ref_vp)  # eager fp32 parity path
+
+    model = SAM2Model(jax.tree_util.tree_map(jnp.copy, tiny128_params),
+                      tiny128_cfg)
+    vp = SAM2VideoPredictor(model, fill_hole_area=0)
+    # fp32-dtype int8 isolates the quantization error from bf16 rounding
+    vp.speedup("int8", calib_dir=str(tmp_path), dtype=jnp.float32,
+               quant_scope="tracking")
+    ma_q = model._compute_params["memory_attention"]["layers"][0]
+    assert is_quantized(ma_q["self_attn"]["q_proj"])
+    assert "act_scale" in ma_q["self_attn"]["q_proj"], (
+        "tracking calibration did not reach memory attention"
+    )
+    assert is_quantized(ma_q["cross_attn_image"]["k_proj"])
+    assert "act_scale" in ma_q["cross_attn_image"]["k_proj"]
+    assert is_quantized(ma_q["linear1"]) and "act_scale" in ma_q["linear1"]
+    tw = model._compute_params["sam_mask_decoder"]["transformer"]
+    assert is_quantized(tw["layers"][0]["self_attn"]["q_proj"])
+    assert "act_scale" in tw["layers"][0]["self_attn"]["q_proj"]
+    # master tree untouched
+    assert not is_quantized(
+        model.params["memory_attention"]["layers"][0]["self_attn"]["q_proj"]
+    )
+
+    q = track(vp)
+    assert set(q) == set(ref)
+    for f in ref:
+        a, b = ref[f][0, 0] > 0, q[f][0, 0] > 0
+        u = (a | b).sum()
+        iou = 1.0 if u == 0 else (a & b).sum() / u
+        assert iou >= 0.97, f"frame {f}: tracking-int8 IoU {iou:.4f}"
+
+
+def test_perm_proj_quantized_matches_permuted_output():
+    """The fused-RoPE path permutes projection OUTPUT channels
+    (memory_attention._perm_proj); for int8-quantized projections the
+    permuted {w_int8, w_scale, bias} must produce exactly the permuted output
+    of the unpermuted quantized projection."""
+    from sam2_opt_tpu.models.memory_attention import _perm_proj
+    from sam2_opt_tpu.quant.int8 import quantize_weight, quantized_linear
+
+    rng = np.random.default_rng(9)
+    w = rng.standard_normal((32, 64)).astype(np.float32) * 0.1
+    b = rng.standard_normal((64,)).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+    qw, sc = quantize_weight(w)
+    p = {"w_int8": jnp.asarray(qw), "w_scale": jnp.asarray(sc),
+         "bias": jnp.asarray(b), "act_scale": jnp.float32(0.05)}
+    perm = np.asarray(rng.permutation(64))
+    y_ref = np.asarray(quantized_linear(p, x))[:, perm]
+    y_perm = np.asarray(quantized_linear(_perm_proj(p, perm), x))
+    np.testing.assert_allclose(y_perm, y_ref, rtol=1e-6, atol=1e-6)
+
+
 def test_split_window_attention_matches_interleaved(monkeypatch):
     """Hiera's bf16 split-qkv einsum fast path (models/hiera.py) must match
     the interleaved-qkv + SDPA path for both plain and int8-quantized qkv

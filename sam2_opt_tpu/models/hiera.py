@@ -110,6 +110,34 @@ def _flat_window_min_tokens() -> int:
         return 256
 
 
+def _global_in_window_run() -> bool:
+    """Opt-in (SAM2_TPU_GLOBAL_IN_WINDOW=1): run global-attention blocks on
+    the window-ordered token layout instead of breaking the surrounding
+    window run. Read at jit-trace time — see _packed_window_max_tokens.
+
+    Global attention is permutation-equivariant and hiera injects position
+    only via the patch-embed pos_embed, so a global block computes identical
+    per-token features whether tokens arrive in raster or window order
+    (verified to 1.5e-8 relative in f32) — and [B*nW, 1, ws², C] ->
+    [B, 1, nW*ws², C] is a FREE reshape (row-major window-major order),
+    while window_unpartition/partition are HBM transposes. Only taken when
+    the run formed without padding (the run gate already requires exact
+    divisibility), the block keeps dim and has no q_pool — true for all
+    three stage-3 globals of hiera-L.
+
+    MEASURED NEGATIVE on v5e — default stays OFF: same-process interleaved
+    A/B of the full hiera-L 1024² trunk (in-graph fori differencing, median
+    of 9) measured 19.34 ms window-ordered vs 18.81 ms with the round trips,
+    non-overlapping distributions. The attention op itself sees identical
+    [B, 4096, C] shapes either way; the loss is in how XLA lays out and
+    fuses the run tensor around the [16,1,256,C] <-> [1,1,4096,C] reshape —
+    the "free" reshape forces a relayout the explicit transposes apparently
+    let XLA schedule better. Kept for other TPU generations."""
+    import os
+
+    return os.environ.get("SAM2_TPU_GLOBAL_IN_WINDOW", "0") == "1"
+
+
 def _split_window_min_tokens() -> int:
     """Smallest window (tokens) routed to the split-qkv einsum path; smaller
     windows keep the interleaved SDPA path. Env override
@@ -380,6 +408,34 @@ def hiera(p, x, cfg: HieraConfig, max_blocks: int | None = None) -> List[jnp.nda
             and (x.shape[1] % ws == 0 and x.shape[2] % ws == 0
                  if cur_ws == 0 else cur_ws == ws)
         )
+        # Opt-in (measured negative on v5e, see _global_in_window_run):
+        # global blocks inside a window run stay in window-ordered token
+        # layout — reshape to [B, 1, nW*ws², C], attend over all tokens,
+        # reshape back, skipping 2 HBM transposes per global block.
+        if (
+            cur_ws != 0
+            and ws == 0
+            and not spec["q_pool"]
+            and spec["dim"] == spec["dim_out"]
+            and _global_in_window_run()
+        ):
+            shape_w = x.shape
+            n_win = (flat_hw[0] // cur_ws) * (flat_hw[1] // cur_ws)
+            xg = x.reshape(shape_w[0] // n_win, 1, -1, shape_w[-1])
+            blk = functools.partial(
+                multiscale_block, spec=spec, q_stride=cfg.q_stride,
+                mlp_ratio=cfg.mlp_ratio,
+            )
+            if cfg.remat_blocks:
+                blk = jax.checkpoint(blk)
+            x = blk(p["blocks"][i], xg).reshape(shape_w)
+            if i in stage_ends:
+                if cur_flat:
+                    x = x.reshape(-1, cur_ws, cur_ws, x.shape[-1])
+                x = ops.window_unpartition(x, cur_ws, flat_hw, flat_hw)
+                cur_ws = 0
+                outputs.append(x)
+            continue
         want_ws = ws if runnable else 0
         if cur_ws != want_ws:
             if cur_ws != 0:

@@ -176,6 +176,54 @@ def test_hiera_max_blocks_prefix_matches_full():
     assert hiera.hiera(tp, x, hcfg, max_blocks=0)[-1].shape[1] == x.shape[1] // 4
 
 
+def test_global_in_window_route_matches_default(monkeypatch):
+    """SAM2_TPU_GLOBAL_IN_WINDOW=1 keeps global-attention blocks on the
+    window-ordered token layout inside a window run (a measured NEGATIVE on
+    v5e, default off — flag kept for other TPU generations, so the route
+    must stay correct): outputs must match the default round-trip path to
+    reorder precision, and the route must actually skip unpartitions."""
+    from sam2_opt_tpu.config import model_config
+    from sam2_opt_tpu.models.init import init_params
+
+    # hiera_t with stage-3 windows shrunk to 8 so they divide the 16x16
+    # stage-3 feature map of a 256px input: blocks 4/6/8 form a window run
+    # around the global blocks 5/7/9.
+    cfg = model_config(
+        "hiera_t", **{"trunk.window_spec": (8, 4, 8, 4), "trunk.embed_dim": 32}
+    )
+    params = init_params(cfg, jax.random.PRNGKey(3))
+    tp = params["image_encoder"]["trunk"]
+    x = jnp.asarray(np.random.default_rng(4).random((1, 256, 256, 3)),
+                    jnp.float32)
+
+    unparts = []
+    real_unpartition = ops.window_unpartition
+
+    def counting_unpartition(*a, **k):
+        unparts.append(1)
+        return real_unpartition(*a, **k)
+
+    monkeypatch.setattr(ops, "window_unpartition", counting_unpartition)
+    monkeypatch.setattr(hiera.ops, "window_unpartition", counting_unpartition)
+
+    monkeypatch.delenv("SAM2_TPU_GLOBAL_IN_WINDOW", raising=False)
+    base = hiera.hiera(tp, x, cfg.trunk)
+    n_base = len(unparts)
+
+    unparts.clear()
+    monkeypatch.setenv("SAM2_TPU_GLOBAL_IN_WINDOW", "1")
+    giw = hiera.hiera(tp, x, cfg.trunk)
+    n_giw = len(unparts)
+
+    assert n_giw < n_base, (n_giw, n_base)  # route actually taken
+    assert len(giw) == len(base)
+    for a, b in zip(giw, base):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-5, atol=2e-5,
+        )
+
+
 def test_fused_mlp_route_skips_int8_layers(monkeypatch):
     """SAM2_TPU_FUSED_MLP=1 with int8-quantized MLP weights ({w_int8,
     w_scale} in place of weight) must fall back to ops.mlp's quantized

@@ -179,44 +179,14 @@ def main():
         B8 = 8
         metric8 = f"video_propagation_8obj_{variant}_obj_fps"
         try:
-            tpos8 = jnp.broadcast_to(tpos_idx, (B8, S))
-            valid8 = jnp.ones((B8, S), bool)
-            ptr_pos8 = jnp.broadcast_to(ptr_pos, (B8, P))
-            ptr_valid8 = jnp.ones((B8, P), bool)
+            # single definition of the multi-object benchmark graph lives in
+            # the sweep tool; import it so the two cannot drift
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "tools"))
+            from bench_multi_object import make_step_for
 
-            @partial(jax.jit, static_argnames=("k",))
-            def video8_k(p, x, k):
-                def body(i, carry):
-                    mem_feats, ptrs, acc = carry
-                    y = x + (acc * 1e-6).astype(x.dtype)
-                    out = base.forward_image(p, cfg, base.image_normalize(y))
-                    f0, f1, f2 = out["backbone_fpn"]
-                    f0 = jnp.repeat(f0, B8, axis=0)
-                    f1 = jnp.repeat(f1, B8, axis=0)
-                    f2 = jnp.repeat(f2, B8, axis=0)
-                    mem = vc.MemoryInput(
-                        feats=tuple(mem_feats[j] for j in range(S)),
-                        tpos_idx=tpos8, valid=valid8,
-                        ptrs=tuple(ptrs[j] for j in range(P)),
-                        ptr_pos=ptr_pos8, ptr_valid=ptr_valid8,
-                    )
-                    o = vc.track_step_conditioned(
-                        p, cfg, (f0, f1, f2), mem,
-                        multimask_output=multimask, run_mem_encoder=True,
-                    )
-                    nm = jnp.concatenate(
-                        [o["maskmem_features"][None], mem_feats[:-1]], axis=0
-                    )
-                    npp = jnp.concatenate([o["obj_ptr"][None], ptrs[:-1]],
-                                          axis=0)
-                    return nm, npp, jnp.mean(
-                        o["pred_masks"].astype(jnp.float32))
-
-                m0 = jnp.zeros((S, B8, g, g, D), jnp.bfloat16)
-                p0 = jnp.zeros((P, B8, C), jnp.float32)
-                return jax.lax.fori_loop(0, k, body,
-                                         (m0, p0, jnp.float32(0.0)))[2]
-
+            video8_k = make_step_for(cfg, B8, multimask_output=multimask)
             per_frame8 = _diff_rate(lambda k: video8_k(params, img, k), 2, 8,
                                     f"8-object video propagation {variant}")
             # per-OBJECT rate vs the reference's per-object loop baseline

@@ -299,9 +299,11 @@ def model_config(variant: str = "hiera_l", **overrides) -> SAM2Config:
     for key, value in nested.items():
         cfg = _replace_dotted(cfg, key, value)
     # keep the memory-attention RoPE table in sync with the feature grid when
-    # image_size is overridden (e.g. tiny shapes in multi-chip dry runs)
+    # image_size is overridden (e.g. tiny shapes in multi-chip dry runs) —
+    # unless the caller pinned rope_feat_sizes explicitly
     grid = cfg.image_size // cfg.backbone_stride
-    if cfg.memory_attention.rope_feat_sizes != (grid, grid):
+    if ("memory_attention.rope_feat_sizes" not in nested
+            and cfg.memory_attention.rope_feat_sizes != (grid, grid)):
         cfg = dataclasses.replace(
             cfg,
             memory_attention=dataclasses.replace(

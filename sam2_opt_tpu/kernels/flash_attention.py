@@ -265,11 +265,15 @@ def _forward_impl_rope(scale, bq, bk, interpret, d_half, fast, qf, kf, vf,
 
 
 def _bwd_chunk_rows(n: int, sq: int, skv: int) -> int:
-    """Query rows per backward chunk: largest 128-aligned divisor of sq whose
-    two [n, rows, skv] fp32 logit temps fit the SAM2_TPU_BWD_LOGIT_MB budget."""
+    """Query rows per backward chunk: an even divisor of sq (>= 128 rows,
+    sq is 128-padded by the wrappers) chosen so the two [n, rows, skv] fp32
+    logit temps fit the SAM2_TPU_BWD_LOGIT_MB budget (default 512)."""
     import os
 
-    budget = int(os.environ.get("SAM2_TPU_BWD_LOGIT_MB", "512")) << 20
+    try:
+        budget = int(os.environ.get("SAM2_TPU_BWD_LOGIT_MB", "512")) << 20
+    except ValueError:
+        budget = 512 << 20
     rows = budget // max(2 * n * skv * 4, 1)
     if rows >= sq:
         return sq

@@ -97,7 +97,16 @@ def window_flash_3d(q, k, v, *, block_n: int = 32, interpret: bool = False):
     o(heads*S²)); head_dim stays un-padded — the block's last dim equals the
     array's, which Mosaic accepts, and the in-VMEM tile padding costs no HBM.
     Measured on v5e (tools/bench_window_flash.py, hiera-L stage-3 shape
-    [16, 256, 8, 72]): 27 us vs 40 us for the einsum path, logits bf16."""
+    [16, 256, 8, 72]): 27 us vs 40 us for the einsum path, logits bf16.
+
+    Differentiable: the backward is the exact softmax-recompute in plain XLA
+    (shared with packed_window_attention) so routing windows through this
+    kernel under jax.grad — e.g. SAM2_TPU_FLASH_WINDOW_MIN set while
+    training — works rather than failing on an undifferentiable pallas_call."""
+    return _window_flash_3d_vjp(q, k, v, block_n, interpret)
+
+
+def _window_flash_3d_impl(q, k, v, block_n: int, interpret: bool):
     N, S, H, D = q.shape
     NB = N * H
     bn = min(block_n, NB)
@@ -115,6 +124,22 @@ def window_flash_3d(q, k, v, *, block_n: int = 32, interpret: bool = False):
         interpret=interpret,
     )(to3(q), to3(k), to3(v))
     return out.reshape(N, H, S, D).transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _window_flash_3d_vjp(q, k, v, block_n, interpret):
+    return _window_flash_3d_impl(q, k, v, block_n, interpret)
+
+
+def _window_flash_3d_fwd(q, k, v, block_n, interpret):
+    return _window_flash_3d_impl(q, k, v, block_n, interpret), (q, k, v)
+
+
+def _window_flash_3d_bwd(block_n, interpret, res, do):
+    return _packed_vjp_bwd(res, do)
+
+
+_window_flash_3d_vjp.defvjp(_window_flash_3d_fwd, _window_flash_3d_bwd)
 
 
 # --------------------------------------------------------------------------- #

@@ -155,9 +155,12 @@ class SAM2Model:
             quantize_params,
         )
 
+        if scope not in ("encoder", "tracking"):
+            # validate even with an explicit pattern: scope also selects the
+            # calibration driver below, and a typo would silently calibrate
+            # encoder-only
+            raise ValueError(f"unknown quant scope: {scope!r}")
         if pattern is None:
-            if scope not in ("encoder", "tracking"):
-                raise ValueError(f"unknown quant scope: {scope!r}")
             pattern = (TRACKING_QUANT_PATTERN if scope == "tracking"
                        else DEFAULT_QUANT_PATTERN)
         act_scales = None

@@ -40,6 +40,21 @@ def main():
     parser.add_argument("--log-dir", default="logs")
     parser.add_argument("--checkpoint-dir", default="checkpoints_train")
     parser.add_argument("--freeze-image-encoder", action="store_true")
+    # memory/precision knobs for production shapes: b+ @1024² T=8 on a
+    # 16 GB v5e needs --remat blocks --compute-dtype bfloat16 (the
+    # reference MOSE recipe's `amp: bfloat16`); see TrainConfig
+    parser.add_argument("--remat", default="encoder",
+                        choices=("none", "encoder", "blocks"),
+                        help="rematerialization scope (blocks = per trunk "
+                             "block + per rollout frame; needed for "
+                             "hiera-b+ @1024² 8-frame rollouts on 16 GB)")
+    parser.add_argument("--grad-accum-steps", type=int, default=1,
+                        help="sequential micro-batches per optimizer step; "
+                             "batch size must be divisible by this (x dp)")
+    parser.add_argument("--compute-dtype", default="float32",
+                        choices=("float32", "bfloat16"),
+                        help="rollout compute dtype; bfloat16 = mixed "
+                             "precision (fp32 master weights/loss/optimizer)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--dp", type=int, default=0,
                         help="data-parallel mesh size (0 = no mesh, "
@@ -119,12 +134,20 @@ def main():
         checkpoint_dir=args.checkpoint_dir,
         freeze_image_encoder=args.freeze_image_encoder,
         seed=args.seed,
+        remat=args.remat,
+        grad_accum_steps=args.grad_accum_steps,
+        compute_dtype=args.compute_dtype,
     )
     trainer = Trainer(cfg, params, tcfg, mesh=mesh)
     if mesh is not None and args.batch_size % mesh.shape["data"] != 0:
         parser.error(
             f"--batch-size {args.batch_size} must be divisible by "
             f"dp={mesh.shape['data']}"
+        )
+    if args.batch_size % max(args.grad_accum_steps, 1) != 0:
+        parser.error(
+            f"--batch-size {args.batch_size} must be divisible by "
+            f"--grad-accum-steps {args.grad_accum_steps}"
         )
 
     raw = PNGRawDataset(args.img_folder, args.gt_folder)

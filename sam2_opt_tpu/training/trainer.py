@@ -148,8 +148,17 @@ def build_train_step(model_cfg: SAM2Config, tcfg: TrainConfig, optimizer,
     def accum_grads(params, images, masks, obj_valid, rng):
         """Gradient accumulation over `accum` strided micro-batches."""
         B = images.shape[0]
-        if accum == 1 or B % accum != 0:
+        if accum == 1:
             return grad_fn(params, images, masks, obj_valid, rng)
+        if B % accum != 0:
+            # fail at trace time rather than silently computing a
+            # full-batch gradient at accum-times the activation memory the
+            # user sized for
+            raise ValueError(
+                f"batch size {B} is not divisible by grad_accum_steps "
+                f"{accum}; pick a batch size that is a multiple of "
+                "grad_accum_steps (times dp for balanced DP accumulation)"
+            )
         m = B // accum
 
         def strided(x):

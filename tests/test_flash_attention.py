@@ -102,6 +102,35 @@ def test_packed_window_kernel_gradients():
         assert err < 1e-4, f"d{name} err {err}"
 
 
+def test_window_flash_3d_gradients():
+    """window_flash_3d's custom VJP (shared softmax-recompute backward)
+    must match autodiff through SDPA — routing windows through the kernel
+    via SAM2_TPU_FLASH_WINDOW_MIN during training must not crash or drift."""
+    from sam2_opt_tpu.kernels.window_attention import window_flash_3d
+
+    rng = np.random.default_rng(53)
+    N, S, H, D = 4, 16, 2, 32
+    q = jnp.asarray(rng.standard_normal((N, S, H, D)) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((N, S, H, D)) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((N, S, H, D)) * 0.3, jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(window_flash_3d(q, k, v, interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        o = scaled_dot_product_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+        ).transpose(0, 2, 1, 3)
+        return jnp.sum(o * o)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        err = float(jnp.max(jnp.abs(a - b)))
+        assert err < 1e-4, f"d{name} err {err}"
+
+
 def test_flash_or_sdpa_window_flag(monkeypatch):
     """The SAM2_TPU_WINDOW_KERNEL=1 dispatch path is wired and numerically
     consistent with the default path."""

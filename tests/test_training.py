@@ -296,6 +296,31 @@ def test_grad_accum_matches_full_batch(tiny128_cfg, tiny128_params):
         )
 
 
+def test_grad_accum_indivisible_batch_raises(tiny128_cfg, tiny128_params):
+    """A batch size not divisible by grad_accum_steps must fail loudly at
+    trace time — a silent full-batch fallback would run at accum-times the
+    activation memory the user sized for."""
+    import pytest
+
+    from sam2_opt_tpu.training.optimizer import build_optimizer
+    from sam2_opt_tpu.training.trainer import TrainConfig, build_train_step
+
+    cfg = tiny128_cfg
+    B, T = 3, 2
+    rng = np.random.default_rng(13)
+    images = jnp.asarray(rng.random((B, T, 128, 128, 3)), jnp.float32)
+    masks = jnp.zeros((B, T, 1, 128, 128), bool)
+    ov = jnp.ones((B, 1), bool)
+    tcfg = TrainConfig(batch_size=B, num_frames=T, num_correction_clicks=0,
+                       grad_accum_steps=2, remat="none")
+    params = tiny128_params
+    optimizer = build_optimizer(params, trunk_depth=cfg.trunk.depth)
+    step = build_train_step(cfg, tcfg, optimizer, use_mask=True)
+    with pytest.raises(ValueError, match="grad_accum_steps"):
+        step(params, optimizer.init(params), images, masks, ov,
+             jax.random.PRNGKey(0), jnp.float32(1e-4))
+
+
 def test_remat_blocks_matches_encoder_remat(tiny128_cfg, tiny128_params):
     """remat="blocks" (per-trunk-block jax.checkpoint, the b+ @1024² memory
     knob) changes scheduling only — loss and gradients match the default

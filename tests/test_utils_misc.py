@@ -83,6 +83,22 @@ def test_variant_selection(monkeypatch):
     assert issubclass(SAM2VideoPredictorLegacy, SAM2VideoPredictor)
 
 
+def test_model_config_dotted_override_pins_rope_feat_sizes():
+    """An explicit memory_attention.rope_feat_sizes override must survive the
+    image_size/grid re-sync instead of being silently clobbered back to
+    (grid, grid); without the override the sync still applies."""
+    from sam2_opt_tpu.config import model_config
+
+    cfg = model_config(
+        "hiera_t", **{"memory_attention.rope_feat_sizes": (32, 32)}
+    )
+    assert cfg.memory_attention.rope_feat_sizes == (32, 32)
+
+    synced = model_config("hiera_t", image_size=128)
+    grid = 128 // synced.backbone_stride
+    assert synced.memory_attention.rope_feat_sizes == (grid, grid)
+
+
 def test_params_native_roundtrip(tmp_path, tiny128_params):
     from sam2_opt_tpu.io.checkpoints import load_params, save_params
 

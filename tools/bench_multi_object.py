@@ -2,32 +2,25 @@
 object-batched step at 1/2/4/8/16 objects (the reference loops objects at
 batch 1 — 44 ms/object on its TRT-A100 baseline). Also the VMEM-safety
 check at 16 objects (known hazard: batched operands around the flash
-kernel, doc/benchmark.md multi-object note)."""
+kernel, doc/benchmark.md multi-object note).
+
+`make_step_for` is the single definition of the multi-object benchmark
+graph — bench.py imports it for its 8-object driver metric so the two
+cannot drift."""
 import sys, time, json, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import jax, jax.numpy as jnp, numpy as np
+import jax, jax.numpy as jnp
 from functools import partial
-from sam2_opt_tpu.config import model_config
 from sam2_opt_tpu.models import sam2_base as base
 from sam2_opt_tpu.models import video_core as vc
-from sam2_opt_tpu.models.init import init_params
-from sam2_opt_tpu.models.model import _cast_tree
-from sam2_opt_tpu.core.executor import enable_persistent_cache
-
-enable_persistent_cache()
-VARIANT = os.environ.get("BENCH_VARIANT", "hiera_l")
-cfg = model_config(VARIANT)
-params = _cast_tree(init_params(cfg, jax.random.PRNGKey(0)), jnp.bfloat16)
-S, P = cfg.num_maskmem, cfg.max_obj_ptrs_in_encoder
-g, D, C = cfg.image_embedding_size, cfg.mem_dim, cfg.hidden_dim
-rng = np.random.default_rng(0)
-img = jnp.asarray(
-    rng.random((1, cfg.image_size, cfg.image_size, 3), np.float32),
-    jnp.bfloat16,
-)
 
 
-def make_step(B):
+def make_step_for(cfg, B, *, multimask_output=True):
+    """Jitted k-frame rollout: ONE shared frame encode + the object-batched
+    conditioned track step at batch B, steady-state memory bank rolling in
+    the fori carry. Returns f(params, img, k) -> scalar."""
+    S, P = cfg.num_maskmem, cfg.max_obj_ptrs_in_encoder
+    g, D, C = cfg.image_embedding_size, cfg.mem_dim, cfg.hidden_dim
     tpos_idx = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
     valid = jnp.ones((B, S), bool)
     ptr_pos = jnp.broadcast_to(
@@ -54,7 +47,7 @@ def make_step(B):
             )
             o = vc.track_step_conditioned(
                 p, cfg, (f0, f1, f2), mem,
-                multimask_output=True, run_mem_encoder=True,
+                multimask_output=multimask_output, run_mem_encoder=True,
             )
             nm = jnp.concatenate(
                 [o["maskmem_features"][None], mem_feats[:-1]], axis=0
@@ -69,7 +62,7 @@ def make_step(B):
     return video_k
 
 
-def rate(fn, k_lo=2, k_hi=8):
+def _rate(fn, k_lo=2, k_hi=8):
     float(fn(k_lo)); float(fn(k_hi))
     def timed(k, reps=5):
         ts = []
@@ -79,16 +72,37 @@ def rate(fn, k_lo=2, k_hi=8):
     return max((timed(k_hi) - timed(k_lo)) / (k_hi - k_lo), 1e-6) * 1000
 
 
-for B in (1, 2, 4, 8, 16):
-    try:
-        fn = make_step(B)
-        ms = rate(lambda k: fn(params, img, k))
-        print(json.dumps({
-            "label": f"video_{B}obj_per_frame", "objects": B,
-            "ms": round(ms, 2), "ms_per_obj": round(ms / B, 2),
-        }), flush=True)
-    except Exception as e:
-        print(json.dumps({
-            "label": f"video_{B}obj_per_frame", "objects": B,
-            "error": f"{type(e).__name__}: {str(e)[:200]}",
-        }), flush=True)
+def main():
+    import numpy as np
+    from sam2_opt_tpu.config import model_config
+    from sam2_opt_tpu.models.init import init_params
+    from sam2_opt_tpu.models.model import _cast_tree
+    from sam2_opt_tpu.core.executor import enable_persistent_cache
+
+    enable_persistent_cache()
+    variant = os.environ.get("BENCH_VARIANT", "hiera_l")
+    cfg = model_config(variant)
+    params = _cast_tree(init_params(cfg, jax.random.PRNGKey(0)), jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(
+        rng.random((1, cfg.image_size, cfg.image_size, 3), np.float32),
+        jnp.bfloat16,
+    )
+
+    for B in (1, 2, 4, 8, 16):
+        try:
+            fn = make_step_for(cfg, B)
+            ms = _rate(lambda k: fn(params, img, k))
+            print(json.dumps({
+                "label": f"video_{B}obj_per_frame", "objects": B,
+                "ms": round(ms, 2), "ms_per_obj": round(ms / B, 2),
+            }), flush=True)
+        except Exception as e:
+            print(json.dumps({
+                "label": f"video_{B}obj_per_frame", "objects": B,
+                "error": f"{type(e).__name__}: {str(e)[:200]}",
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

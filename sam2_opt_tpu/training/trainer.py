@@ -515,6 +515,22 @@ class Trainer:
             if step_fn is None:
                 step_fn = self._build_step(use_box, use_mask, n_init,
                                            correct_frames)
+                if self.mesh is not None and jax.process_count() > 1:
+                    # multi-process: serialize rank-0-compiles-first (shared
+                    # persistent cache) and barrier all ranks before the
+                    # first execution, so the CPU-collective handshake never
+                    # races a peer's multi-minute XLA compile (round-4
+                    # failure mode; see parallel.mesh.aligned_compile).
+                    # `skey` is derived from the shared-seed RNG, so the
+                    # barrier tag is identical on every rank.
+                    from sam2_opt_tpu.parallel.mesh import aligned_compile
+
+                    step_fn = aligned_compile(
+                        step_fn,
+                        (self.params, self.opt_state, images, masks,
+                         obj_valid, key, lr),
+                        tag=f"train_step/{skey!r}",
+                    )
                 self._step_fns[skey] = step_fn
 
             t0 = time.time()

@@ -22,7 +22,21 @@ def _variant_from_config_name(name: str) -> str:
 
 def build_sam2(config_or_variant: str = "hiera_l", ckpt_path: Optional[str] = None,
                device=None, mode="eval", **kwargs) -> SAM2Model:
-    """Build the core model (reference build_sam2, build_sam.py:71-97)."""
+    """Build the core model (reference build_sam2, build_sam.py:71-97).
+
+    Accepts a variant name ("hiera_l"), a reference config resource name
+    ("configs/sam2.1/sam2.1_hiera_l.yaml" — mapped by variant), or a PATH
+    to a reference Hydra yaml on disk, which is ingested field-by-field
+    (io/hydra_config.py) so custom reference topologies port mechanically.
+    """
+    import os
+
+    if (config_or_variant.endswith((".yaml", ".yml"))
+            and os.path.exists(config_or_variant)):
+        from sam2_opt_tpu.io.hydra_config import config_from_yaml
+
+        return _build_model(cfg=config_from_yaml(config_or_variant),
+                            checkpoint_path=ckpt_path)
     variant = _variant_from_config_name(config_or_variant)
     return _build_model(variant, checkpoint_path=ckpt_path)
 

@@ -311,13 +311,16 @@ class SAM2Model:
 
 
 def build_sam2(variant: str = "hiera_l", checkpoint_path: Optional[str] = None,
-               params: Optional[Dict] = None, seed: int = 0) -> SAM2Model:
+               params: Optional[Dict] = None, seed: int = 0,
+               cfg: Optional[SAM2Config] = None) -> SAM2Model:
     """Build a SAM2Model (reference build_sam.py:71-97 without hydra).
 
     Loads a torch .pt checkpoint when given; otherwise uses provided params or
-    random initialization.
+    random initialization. Pass `cfg` to build from an explicit SAM2Config
+    (e.g. one ingested from a reference yaml, io/hydra_config.py).
     """
-    cfg = model_config(variant)
+    if cfg is None:
+        cfg = model_config(variant)
     if checkpoint_path is not None:
         from sam2_opt_tpu.io.torch_convert import load_torch_checkpoint
 

@@ -13,8 +13,13 @@ This probe times the SAME ops (LN, qkv matmul, MLP, residual) in both
 orientations at stage-1 (C=144, T=65536) and stage-2 (C=288, T=16384)
 shapes. If channel-major wins big, the trunk's window-run persistence can
 carry stages 1-2 channel-major between attentions.
+
+Caveat: each op is timed in isolation with a jnp.mean reduction and a
+dependency-add to defeat DCE, which inflates the cheap ops (resid/LN) by a
+constant overhead — it cancels between orientations, which is the only
+comparison this probe makes.
 """
-import sys, os, time, json, math
+import sys, os, time, json
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
 from functools import partial

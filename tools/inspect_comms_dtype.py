@@ -1,0 +1,96 @@
+"""Inspect the dtypes of the cross-device collectives in the compiled
+DP-mesh training step (VERDICT r4 missing-item 4 / task 8).
+
+The reference optionally compresses DDP gradient traffic to bf16/fp16 via
+comm hooks (sam2/training/trainer.py:300-311). Under GSPMD there is no hook
+— the gradient all-reduces are inserted by XLA wherever the batch-dim
+contraction happens, and their dtype follows the values being reduced. This
+tool compiles the REAL train step (build_train_step) over an 8-device
+virtual CPU mesh at tiny shapes for both compute dtypes and reports every
+`all-reduce` in the optimized HLO with its shapes/dtypes, answering:
+do gradients cross the interconnect in bf16 under
+`TrainConfig.compute_dtype="bfloat16"`, or does fp32-master training
+all-reduce fp32 grads?
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python tools/inspect_comms_dtype.py
+"""
+
+import os
+import re
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from sam2_opt_tpu.config import model_config
+from sam2_opt_tpu.models.init import init_params
+from sam2_opt_tpu.parallel import mesh as mesh_lib
+from sam2_opt_tpu.training.optimizer import build_optimizer
+from sam2_opt_tpu.training.trainer import TrainConfig, build_train_step
+
+
+def collective_report(compute_dtype: str):
+    cfg = model_config("hiera_t", image_size=128)
+    mesh = mesh_lib.make_mesh(dp=8, tp=1)
+    params = mesh_lib.shard_params(mesh, init_params(cfg, jax.random.PRNGKey(0)))
+    optimizer = build_optimizer(params, trunk_depth=cfg.trunk.depth)
+    opt_state = optimizer.init(params)
+    tcfg = TrainConfig(batch_size=8, num_frames=2, compute_dtype=compute_dtype,
+                       num_correction_clicks=0)
+    step = build_train_step(cfg, tcfg, optimizer, mesh=mesh)
+
+    B, T, S = 8, 2, cfg.image_size
+    images = mesh_lib.put_global_batch(
+        mesh, np.random.default_rng(0).random((B, T, S, S, 3), np.float32))
+    masks = mesh_lib.put_global_batch(mesh, np.zeros((B, T, 1, S, S), bool))
+    valid = mesh_lib.put_global_batch(mesh, np.ones((B, 1), bool))
+    key = jax.random.PRNGKey(1)
+    lr = jnp.float32(1e-5)
+
+    compiled = step.lower(params, opt_state, images, masks, valid, key, lr
+                          ).compile()
+    hlo = compiled.as_text()
+    # optimized HLO: `name = TYPE[SHAPE] all-reduce(...)` — collect result
+    # types of every cross-device reduction
+    pat = re.compile(r"=\s*(\S+)\s+all-reduce\(")
+    types = Counter(m.group(1) for m in pat.finditer(hlo))
+    # count reduced bytes per element dtype (tuple-shaped all-reduces list
+    # each operand's type inside the tuple)
+    elems = Counter()
+    for m in re.finditer(r"=\s*(\([^)]*\)|\S+)\s+all-reduce\(", hlo):
+        sig = m.group(1)
+        for t in re.finditer(r"(f32|bf16|f16|s32|u32|pred)\[([\d,]*)\]", sig):
+            dt, dims = t.group(1), t.group(2)
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            elems[dt] += n
+    return types, elems
+
+
+def main():
+    for dt in ("bfloat16", "float32"):
+        types, elems = collective_report(dt)
+        bytes_per = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+                     "pred": 1}
+        total = {k: v * bytes_per.get(k, 4) for k, v in elems.items()}
+        print(f"compute_dtype={dt}:")
+        print(f"  all-reduce result signatures: {dict(types)}")
+        print(f"  reduced elements by dtype:    {dict(elems)}")
+        print(f"  reduced bytes by dtype:       {total}")
+
+
+if __name__ == "__main__":
+    main()

@@ -101,8 +101,25 @@ class SAM2VideoPredictorLegacy(SAM2VideoPredictor):
             normalize_coords=normalize_coords, box=box,
         )
 
+    def propagate_in_video_preflight(self, inference_state):
+        # the reference locks new objects at PREFLIGHT (legacy :593-596),
+        # which propagate_in_video also calls — match both entry points
+        inference_state["tracking_has_started"] = True
+        return super().propagate_in_video_preflight(inference_state)
+
     def propagate_in_video(self, inference_state, *args, **kwargs):
         inference_state["tracking_has_started"] = True
+        if not any(
+            obj_out["cond_frame_outputs"] or obj_out["non_cond_frame_outputs"]
+            for obj_out in inference_state["output_dict_per_obj"].values()
+        ) and not any(
+            inference_state["point_inputs_per_obj"].get(i)
+            or inference_state["mask_inputs_per_obj"].get(i)
+            for i in inference_state["obj_id_to_idx"].values()
+        ):
+            raise RuntimeError(
+                "No points are provided; please add points first"
+            )
         return super().propagate_in_video(inference_state, *args, **kwargs)
 
     def reset_state(self, inference_state):

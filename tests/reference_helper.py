@@ -340,6 +340,24 @@ def build_torch_video_predictor(variant: str = "hiera_t", seed: int = 0,
     )
 
 
+def build_torch_legacy_predictor(variant: str = "hiera_t", seed: int = 0,
+                                 **predictor_kwargs):
+    """Reference LEGACY SAM2VideoPredictor (sam2_video_predictor_legacy.py —
+    the pre-12/2024 shared-output_dict engine) on CPU with seeded weights
+    and the build_sam2_video_predictor overrides."""
+    setup_reference()
+    from sam2.sam2_video_predictor_legacy import (
+        SAM2VideoPredictor as LegacyPredictor,
+    )
+
+    predictor_kwargs.setdefault("fill_hole_area", 0)
+    extra = dict(predictor_kwargs)
+    extra["binarize_mask_from_pts_for_mem_enc"] = True
+    return build_torch_sam2(
+        variant, seed=seed, cls=LegacyPredictor, extra_kwargs=extra
+    )
+
+
 def build_torch_dam4sam_predictor(variant: str = "hiera_t", seed: int = 0,
                                   **predictor_kwargs):
     """Reference DAM4SAM SAM2VideoPredictor (sam2_video_predictor_dam4sam.py)

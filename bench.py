@@ -36,11 +36,16 @@ def _timed(fn, k, reps=5):
     return sorted(ts)[len(ts) // 2]
 
 
+_LAST_COMPILE_S = 0.0  # compile+first-run wall of the most recent _diff_rate
+
+
 def _diff_rate(fn, k_lo, k_hi, label):
+    global _LAST_COMPILE_S
     t0 = time.time()
     float(fn(k_lo))
     float(fn(k_hi))
-    print(f"[bench] {label} compile+first runs: {time.time()-t0:.1f}s",
+    _LAST_COMPILE_S = round(time.time() - t0, 1)
+    print(f"[bench] {label} compile+first runs: {_LAST_COMPILE_S:.1f}s",
           file=sys.stderr)
     t_lo = _timed(fn, k_lo)
     t_hi = _timed(fn, k_hi)
@@ -91,12 +96,16 @@ def main():
     def emit(metric, per_iter, unit, baseline_fps):
         # print each metric as soon as it is measured so a late failure
         # (e.g. a relay flake during the optional int8 section) cannot
-        # lose the already-measured headline numbers
+        # lose the already-measured headline numbers. compile_s = the
+        # compile+first-run wall of this metric's _diff_rate — with the
+        # persistent compilation cache warm (enable_persistent_cache), a
+        # second process re-compiles in seconds (tools/bench_cold_start.py)
         line = {
             "metric": metric,
             "value": round(1.0 / per_iter, 3),
             "unit": unit,
             "vs_baseline": round(1.0 / per_iter / baseline_fps, 3),
+            "compile_s": _LAST_COMPILE_S,
         }
         print(json.dumps(line), flush=True)
 
@@ -249,9 +258,12 @@ def main():
                 if t_dtype != "float32":
                     p = _ct(p, jnp.dtype(t_dtype))
                     im = im.astype(jnp.dtype(t_dtype))
+                # use_remat=False: no outer encoder checkpoint on top of the
+                # per-block ones (remat_blocks above) — the nesting costs an
+                # extra encoder forward per backward (tools/bench_train_mfu.py)
                 loss, _ = sam2_train.video_train_loss(
                     p, tcfg_m, im, gt, key,
-                    num_correction_clicks=2, use_remat=True,
+                    num_correction_clicks=2, use_remat=False,
                     remat_frames=True,
                 )
                 return loss
@@ -281,6 +293,7 @@ def main():
                 "unit": "steps/s/chip",
                 "vs_baseline": None,
                 "seconds_per_step": round(per_step, 3),
+                "compile_s": _LAST_COMPILE_S,
             }
             print(json.dumps(line), flush=True)
             del params_t, opt_state0

@@ -68,7 +68,7 @@ def _ns_update(s, v, m_scr, l_scr, acc_scr, fast_exp: bool):
     l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
 
-def _ns_finish(o_ref, m_scr, l_scr, acc_scr):
+def _ns_finish(o_ref, m_scr, l_scr, acc_scr, lse_ref=None):
     """Final normalize + store.
 
     A row with EVERY kv position masked keeps m == NEG_INF, and its
@@ -77,15 +77,26 @@ def _ns_finish(o_ref, m_scr, l_scr, acc_scr):
     instead: the correct output for such a row is zeros. (A fully-masked
     BLOCK in an otherwise valid row is already exact: exp(NEG_INF - m_real)
     underflows to 0, and a poisoned prefix is rescaled away by
-    alpha = exp(NEG_INF - m_real) = 0.)"""
+    alpha = exp(NEG_INF - m_real) = 0.)
+
+    `lse_ref` (broadcast across lanes) receives the row log-sum-exp of the
+    SCALED-and-masked scores — the Pallas backward reconstructs
+    p = exp(s - lse) from it without a second max pass. Fully-masked rows
+    keep lse ~ NEG_INF, which the backward uses as its zero-gradient gate.
+    """
     l = l_scr[:, :1]
     seen_valid = m_scr[:, :1] > NEG_INF * 0.5
     l = jnp.where(seen_valid, l, 1.0)
     o_ref[0] = jnp.where(seen_valid, acc_scr[:] / l, 0.0).astype(o_ref.dtype)
+    if lse_ref is not None:
+        lse_ref[0] = jnp.where(
+            m_scr[:] > NEG_INF * 0.5, m_scr[:] + jnp.log(l_scr[:]), NEG_INF
+        )
 
 
-def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scr, l_scr, acc_scr, *,
-            scale: float, num_kv_blocks: int, fast_exp: bool = False):
+def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, m_scr, l_scr,
+            acc_scr, *, scale: float, num_kv_blocks: int,
+            fast_exp: bool = False):
     ik = pl.program_id(2)
 
     @pl.when(ik == 0)
@@ -104,12 +115,12 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scr, l_scr, acc_scr, *,
 
     @pl.when(ik == num_kv_blocks - 1)
     def _finish():
-        _ns_finish(o_ref, m_scr, l_scr, acc_scr)
+        _ns_finish(o_ref, m_scr, l_scr, acc_scr, lse_ref)
 
 
 def _kernel_rope(q_ref, k_ref, v_ref, mask_ref, cos_ref, sin_ref, o_ref,
-                 m_scr, l_scr, acc_scr, *, scale: float, num_kv_blocks: int,
-                 fast_exp: bool = False):
+                 lse_ref, m_scr, l_scr, acc_scr, *, scale: float,
+                 num_kv_blocks: int, fast_exp: bool = False):
     """Flash attention with partial RoPE applied to K IN-KERNEL, in the
     de-interleaved split channel layout (see ops/posenc.py split_perm): the
     kv stream is rotated as it is loaded, so K never makes an extra HBM
@@ -137,11 +148,11 @@ def _kernel_rope(q_ref, k_ref, v_ref, mask_ref, cos_ref, sin_ref, o_ref,
 
     @pl.when(ik == num_kv_blocks - 1)
     def _finish():
-        _ns_finish(o_ref, m_scr, l_scr, acc_scr)
+        _ns_finish(o_ref, m_scr, l_scr, acc_scr, lse_ref)
 
 
 def _kernel_rope_kvproj(q_ref, k_ref, v_ref, wk_ref, bk_ref, wv_ref, bv_ref,
-                        mask_ref, cos_ref, sin_ref, o_ref,
+                        mask_ref, cos_ref, sin_ref, o_ref, lse_ref,
                         m_scr, l_scr, acc_scr, *, scale: float,
                         num_kv_blocks: int):
     """Flash attention with the per-layer K/V PROJECTIONS (mem_dim -> d_model,
@@ -182,7 +193,7 @@ def _kernel_rope_kvproj(q_ref, k_ref, v_ref, wk_ref, bk_ref, wv_ref, bv_ref,
 
     @pl.when(ik == num_kv_blocks - 1)
     def _finish():
-        _ns_finish(o_ref, m_scr, l_scr, acc_scr)
+        _ns_finish(o_ref, m_scr, l_scr, acc_scr, lse_ref)
 
 
 def _pad_to(x, size, axis, value=0.0):
@@ -195,7 +206,9 @@ def _pad_to(x, size, axis, value=0.0):
 
 
 def _forward_impl(scale, bq, bk, interpret, fast, qf, kf, vf, maskf):
-    """Padded-layout pallas forward. qf/kf/vf [N, S*, d_pad], maskf [N,1,skv]."""
+    """Padded-layout pallas forward. qf/kf/vf [N, S*, d_pad], maskf [N,1,skv].
+    Returns (out, lse[N, sq_pad, 128] f32 — row log-sum-exp, lane-broadcast,
+    consumed by the Pallas backward)."""
     N, sq_pad, d_pad = qf.shape
     skv_pad = kf.shape[1]
     nq = sq_pad // bq
@@ -210,8 +223,14 @@ def _forward_impl(scale, bq, bk, interpret, fast, qf, kf, vf, maskf):
             pl.BlockSpec((1, bk, d_pad), lambda b, iq, ik: (b, ik, 0)),
             pl.BlockSpec((1, 1, bk), lambda b, iq, ik: (b, 0, ik)),
         ],
-        out_specs=pl.BlockSpec((1, bq, d_pad), lambda b, iq, ik: (b, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((N, sq_pad, d_pad), qf.dtype),
+        out_specs=[
+            pl.BlockSpec((1, bq, d_pad), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, bq, 128), lambda b, iq, ik: (b, iq, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, sq_pad, d_pad), qf.dtype),
+            jax.ShapeDtypeStruct((N, sq_pad, 128), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -240,8 +259,14 @@ def _forward_impl_rope(scale, bq, bk, interpret, d_half, fast, qf, kf, vf,
             pl.BlockSpec((bk, d_half), lambda b, iq, ik: (ik, 0)),
             pl.BlockSpec((bk, d_half), lambda b, iq, ik: (ik, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, d_pad), lambda b, iq, ik: (b, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((N, sq_pad, d_pad), qf.dtype),
+        out_specs=[
+            pl.BlockSpec((1, bq, d_pad), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, bq, 128), lambda b, iq, ik: (b, iq, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, sq_pad, d_pad), qf.dtype),
+            jax.ShapeDtypeStruct((N, sq_pad, 128), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -336,31 +361,215 @@ def _softmax_bwd_core(scale, q, k, v, maskf, do):
     return dq, dk, dv
 
 
+# --------------------------------------------------------------------------- #
+# Pallas flash backward (Dao et al. two-kernel scheme). The XLA recompute
+# backward above materializes the [n, rows, skv] fp32 probability/ds temps
+# in HBM every chunk; at the memory-attention training shape (4096 q x
+# ~28.7k kv x 4 layers x 8 frames) that made the backward 8x the forward
+# (109 ms vs 13.5 ms for the 4-layer stack, tools/bench_track_grad.py).
+# These kernels keep the logits in VMEM: p is reconstructed from the
+# forward's saved row log-sum-exp (p = exp(s - lse)), delta = rowsum(do*o)
+# is precomputed in XLA, and dk/dv (kv-block grid, q streamed) and dq
+# (q-block grid, kv streamed) accumulate in fp32 VMEM scratch. Matmul
+# inputs stay in the source dtype with fp32 accumulation — the same
+# precision contract as the XLA path. Fallback: SAM2_TPU_XLA_ATTN_BWD=1.
+# --------------------------------------------------------------------------- #
+
+
+def _bwd_dkdv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+                     mask_ref, dk_ref, dv_ref, dk_scr, dv_scr, *,
+                     scale: float, num_q_blocks: int):
+    iq = pl.program_id(2)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]                  # [bq, d]
+    do = do_ref[0]                # [bq, d]
+    lse = lse_ref[0][:, :1]       # [bq, 1] (lane-broadcast input)
+    delta = delta_ref[0][:, :1]   # [bq, 1]
+    k = k_ref[0]                  # [bk, d]
+    v = v_ref[0]
+    mask = mask_ref[0]            # [1, bk]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    live = (mask > 0) & (lse > NEG_INF * 0.5)   # [bq, bk] via broadcast
+    p = jnp.where(live, jnp.exp(s - lse), 0.0)
+    pd = p.astype(do.dtype)
+    dv_scr[:] += jax.lax.dot_general(
+        pd, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = (p * (dp - delta)).astype(q.dtype)
+    dk_scr[:] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+
+    @pl.when(iq == num_q_blocks - 1)
+    def _finish():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+                   mask_ref, dq_ref, dq_scr, *, scale: float,
+                   num_kv_blocks: int):
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, :1]
+    delta = delta_ref[0][:, :1]
+    k = k_ref[0]
+    v = v_ref[0]
+    mask = mask_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    live = (mask > 0) & (lse > NEG_INF * 0.5)
+    p = jnp.where(live, jnp.exp(s - lse), 0.0)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = (p * (dp - delta)).astype(q.dtype)
+    dq_scr[:] += jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+
+    @pl.when(ik == num_kv_blocks - 1)
+    def _finish():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _divisor_block(size: int, target: int) -> int:
+    """Largest multiple of 128 that divides `size` and is <= target.
+    (All padded seq lengths are 128-multiples.)"""
+    best = 128
+    b = 128
+    while b <= min(size, target):
+        if size % b == 0:
+            best = b
+        b += 128
+    return best
+
+
+def _use_xla_attn_bwd() -> bool:
+    import os
+
+    return os.environ.get("SAM2_TPU_XLA_ATTN_BWD", "0") == "1"
+
+
+def _flash_bwd(scale, interpret, q, k, v, maskf, do, out, lse):
+    """Pallas flash backward: (dq, dk, dv) fp32 for the padded-layout core.
+
+    q/do [n, sq, d], k/v [n, skv, d] in the source dtype; maskf [n or 1, 1,
+    skv] f32; out = forward output (same dtype as q); lse [n, sq, 128] f32
+    lane-broadcast. Falls back to the chunked XLA recompute backward when
+    SAM2_TPU_XLA_ATTN_BWD=1.
+    """
+    if _use_xla_attn_bwd():
+        return _softmax_bwd_core(scale, q, k, v, maskf, do.astype(q.dtype))
+    n, sq, d_pad = q.shape
+    skv = k.shape[1]
+    do = do.astype(q.dtype)
+    if maskf.shape[0] != n:
+        maskf = jnp.broadcast_to(maskf, (n,) + maskf.shape[1:])
+    # delta_i = rowsum(do * o) (one cheap fused elementwise pass in XLA)
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta[..., None], (n, sq, 128)) + 0.0
+
+    import os
+
+    bq = _divisor_block(sq, int(os.environ.get("SAM2_TPU_BWD_BLOCK_Q", "512")))
+    bk = _divisor_block(skv, int(os.environ.get("SAM2_TPU_BWD_BLOCK_K", "512")))
+    nq = sq // bq
+    nk = skv // bk
+
+    row_specs = [
+        pl.BlockSpec((1, bq, d_pad), lambda b, ik, iq: (b, iq, 0)),   # q
+        pl.BlockSpec((1, bq, d_pad), lambda b, ik, iq: (b, iq, 0)),   # do
+        pl.BlockSpec((1, bq, 128), lambda b, ik, iq: (b, iq, 0)),     # lse
+        pl.BlockSpec((1, bq, 128), lambda b, ik, iq: (b, iq, 0)),     # delta
+        pl.BlockSpec((1, bk, d_pad), lambda b, ik, iq: (b, ik, 0)),   # k
+        pl.BlockSpec((1, bk, d_pad), lambda b, ik, iq: (b, ik, 0)),   # v
+        pl.BlockSpec((1, 1, bk), lambda b, ik, iq: (b, 0, ik)),       # mask
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkdv_kernel, scale=scale, num_q_blocks=nq),
+        grid=(n, nk, nq),
+        in_specs=row_specs,
+        out_specs=[
+            pl.BlockSpec((1, bk, d_pad), lambda b, ik, iq: (b, ik, 0)),
+            pl.BlockSpec((1, bk, d_pad), lambda b, ik, iq: (b, ik, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, skv, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n, skv, d_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, d_pad), jnp.float32),
+            pltpu.VMEM((bk, d_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, do, lse, delta, k, v, maskf)
+
+    col_specs = [
+        pl.BlockSpec((1, bq, d_pad), lambda b, iq, ik: (b, iq, 0)),   # q
+        pl.BlockSpec((1, bq, d_pad), lambda b, iq, ik: (b, iq, 0)),   # do
+        pl.BlockSpec((1, bq, 128), lambda b, iq, ik: (b, iq, 0)),     # lse
+        pl.BlockSpec((1, bq, 128), lambda b, iq, ik: (b, iq, 0)),     # delta
+        pl.BlockSpec((1, bk, d_pad), lambda b, iq, ik: (b, ik, 0)),   # k
+        pl.BlockSpec((1, bk, d_pad), lambda b, iq, ik: (b, ik, 0)),   # v
+        pl.BlockSpec((1, 1, bk), lambda b, iq, ik: (b, 0, ik)),       # mask
+    ]
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, num_kv_blocks=nk),
+        grid=(n, nq, nk),
+        in_specs=col_specs,
+        out_specs=pl.BlockSpec((1, bq, d_pad), lambda b, iq, ik: (b, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, sq, d_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bq, d_pad), jnp.float32)],
+        interpret=interpret,
+    )(q, do, lse, delta, k, v, maskf)
+    return dq, dk, dv
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def _attn_core_rope(scale, bq, bk, interpret, d_half, fast, qf, kf, vf, maskf,
                     cosf, sinf):
-    """Differentiable seam for the rope-fused kernel (exact softmax-recompute
-    backward; rotation is linear, so dK is the transpose rotation of dK_rot)."""
+    """Differentiable seam for the rope-fused kernel (Pallas flash backward;
+    rotation is linear, so dK is the transpose rotation of dK_rot)."""
     return _forward_impl_rope(scale, bq, bk, interpret, d_half, fast, qf, kf,
-                              vf, maskf, cosf, sinf)
+                              vf, maskf, cosf, sinf)[0]
 
 
 def _attn_rope_fwd(scale, bq, bk, interpret, d_half, fast, qf, kf, vf, maskf,
                    cosf, sinf):
-    out = _forward_impl_rope(scale, bq, bk, interpret, d_half, fast, qf, kf,
-                             vf, maskf, cosf, sinf)
-    return out, (qf, kf, vf, maskf, cosf, sinf)
+    out, lse = _forward_impl_rope(scale, bq, bk, interpret, d_half, fast, qf,
+                                  kf, vf, maskf, cosf, sinf)
+    return out, (qf, kf, vf, maskf, cosf, sinf, out, lse)
 
 
 def _attn_rope_bwd(scale, bq, bk, interpret, d_half, fast, res, do):
-    qf, kf, vf, maskf, cosf, sinf = res
+    qf, kf, vf, maskf, cosf, sinf, out, lse = res
     c32 = cosf.astype(jnp.float32)[None]  # [1, skv, d_half]
     s32 = sinf.astype(jnp.float32)[None]
     # rotate K in its source dtype, exactly like the forward kernel does
     kr = apply_rotary_split(kf, cosf[None].astype(kf.dtype),
                             sinf[None].astype(kf.dtype))
-    dq, dkr, dv = _softmax_bwd_core(scale, qf, kr, vf, maskf,
-                                    do.astype(qf.dtype))
+    dq, dkr, dv = _flash_bwd(scale, interpret, qf, kr, vf, maskf, do, out,
+                             lse)
     # transpose of the forward rotation = rotation by -theta (fp32 cotangent)
     dk = apply_rotary_split(dkr, c32, -s32)
     return (
@@ -400,8 +609,14 @@ def _forward_impl_rope_kvproj(scale, bq, bk, interpret, d_half,
             pl.BlockSpec((bk, d_half), lambda b, iq, ik: (ik, 0)),
             pl.BlockSpec((bk, d_half), lambda b, iq, ik: (ik, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, d_pad), lambda b, iq, ik: (b, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((N, sq_pad, d_pad), qf.dtype),
+        out_specs=[
+            pl.BlockSpec((1, bq, d_pad), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, bq, 128), lambda b, iq, ik: (b, iq, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, sq_pad, d_pad), qf.dtype),
+            jax.ShapeDtypeStruct((N, sq_pad, 128), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -414,23 +629,23 @@ def _forward_impl_rope_kvproj(scale, bq, bk, interpret, d_half,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
 def _attn_core_rope_kvproj(scale, bq, bk, interpret, d_half, qf, kf, vf,
                            wk, bkb, wv, bvb, maskf, cosf, sinf):
-    """Differentiable seam for the kv-projection-fused kernel: exact XLA
-    recompute backward with the projection/rotation chain rules."""
+    """Differentiable seam for the kv-projection-fused kernel: Pallas flash
+    backward with the projection/rotation chain rules."""
     return _forward_impl_rope_kvproj(scale, bq, bk, interpret, d_half,
                                      qf, kf, vf, wk, bkb, wv, bvb,
-                                     maskf, cosf, sinf)
+                                     maskf, cosf, sinf)[0]
 
 
 def _attn_rope_kvproj_fwd(scale, bq, bk, interpret, d_half, qf, kf, vf,
                           wk, bkb, wv, bvb, maskf, cosf, sinf):
-    out = _forward_impl_rope_kvproj(scale, bq, bk, interpret, d_half,
-                                    qf, kf, vf, wk, bkb, wv, bvb,
-                                    maskf, cosf, sinf)
-    return out, (qf, kf, vf, wk, bkb, wv, bvb, maskf, cosf, sinf)
+    out, lse = _forward_impl_rope_kvproj(scale, bq, bk, interpret, d_half,
+                                         qf, kf, vf, wk, bkb, wv, bvb,
+                                         maskf, cosf, sinf)
+    return out, (qf, kf, vf, wk, bkb, wv, bvb, maskf, cosf, sinf, out, lse)
 
 
 def _attn_rope_kvproj_bwd(scale, bq, bk, interpret, d_half, res, do):
-    qf, kf, vf, wk, bkb, wv, bvb, maskf, cosf, sinf = res
+    qf, kf, vf, wk, bkb, wv, bvb, maskf, cosf, sinf, out, lse = res
     in_dt = qf.dtype
     f32 = jnp.float32
     c32 = cosf.astype(f32)[None]
@@ -444,8 +659,8 @@ def _attn_rope_kvproj_bwd(scale, bq, bk, interpret, d_half, res, do):
                               sinf[None].astype(in_dt))
     vp = (jnp.einsum("nsm,md->nsd", vf, wv, preferred_element_type=f32)
           + bvb.astype(f32)[None]).astype(in_dt)
-    dq, dkrot, dvp = _softmax_bwd_core(scale, qf, krot, vp, maskf,
-                                       do.astype(in_dt))
+    dq, dkrot, dvp = _flash_bwd(scale, interpret, qf, krot, vp, maskf, do,
+                                out, lse)
     # inverse rotation (= rotation by -theta), then the projection chain rule
     dkp = apply_rotary_split(dkrot, c32, -s32)
     dkp_l = dkp.astype(in_dt)
@@ -535,21 +750,21 @@ def flash_attention_kv_proj(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
 def _attn_core(scale, bq, bk, interpret, fast, qf, kf, vf, maskf):
-    """Differentiable seam: Pallas kernel forward, exact softmax-recompute
-    backward (pallas_call has no autodiff rule — without this, any training
+    """Differentiable seam: Pallas kernel forward, Pallas flash backward
+    (pallas_call has no autodiff rule — without this, any training
     path that routes through the flash kernel fails to differentiate)."""
-    return _forward_impl(scale, bq, bk, interpret, fast, qf, kf, vf, maskf)
+    return _forward_impl(scale, bq, bk, interpret, fast, qf, kf, vf, maskf)[0]
 
 
 def _attn_fwd(scale, bq, bk, interpret, fast, qf, kf, vf, maskf):
-    out = _forward_impl(scale, bq, bk, interpret, fast, qf, kf, vf, maskf)
-    return out, (qf, kf, vf, maskf)
+    out, lse = _forward_impl(scale, bq, bk, interpret, fast, qf, kf, vf,
+                             maskf)
+    return out, (qf, kf, vf, maskf, out, lse)
 
 
 def _attn_bwd(scale, bq, bk, interpret, fast, res, do):
-    qf, kf, vf, maskf = res
-    dq, dk, dv = _softmax_bwd_core(scale, qf, kf, vf, maskf,
-                                   do.astype(qf.dtype))
+    qf, kf, vf, maskf, out, lse = res
+    dq, dk, dv = _flash_bwd(scale, interpret, qf, kf, vf, maskf, do, out, lse)
     return (
         dq.astype(qf.dtype),
         dk.astype(kf.dtype),

@@ -75,12 +75,57 @@ def _packed_conv_indices(p_in: int, c_in: int, c_out: int, k: int = 3):
     return idx
 
 
+@functools.lru_cache(maxsize=None)
+def _packed_conv_inverse_indices(p_in: int, c_in: int, c_out: int, k: int = 3):
+    """Adjoint map of `_packed_conv_indices`: for each original kernel tap
+    (flat [k,k,c_in,c_out] order), the p_out² flat positions in the packed
+    kernel that read it. The gather's backward then becomes a gather+sum
+    instead of a scatter-add (TPU scatters serialize; measured as the
+    memory-encoder backward hot spot)."""
+    p_out = p_in // 2
+    fwd = _packed_conv_indices(p_in, c_in, c_out, k)  # values = flat tap + 1
+    flat_fwd = fwd.reshape(-1)
+    order = np.argsort(flat_fwd, kind="stable")
+    vals = flat_fwd[order]
+    n_taps = k * k * c_in * c_out
+    inv = np.zeros((n_taps, p_out * p_out), np.int64)
+    # every tap appears exactly p_out*p_out times (one per output phase)
+    start = np.searchsorted(vals, np.arange(1, n_taps + 1))
+    for t in range(n_taps):
+        inv[t] = order[start[t]:start[t] + p_out * p_out]
+    return inv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _packed_weight(wflat1, p_in: int, c_in: int, c_out: int, k: int):
+    """Phase-packed kernel from the zero-prepended flat weights — a pure
+    gather whose custom backward is ALSO a gather (+sum over the p_out²
+    duplicated slots) rather than XLA's scatter-add adjoint."""
+    idx = jnp.asarray(_packed_conv_indices(p_in, c_in, c_out, k))
+    return wflat1[idx]
+
+
+def _packed_weight_fwd(wflat1, p_in, c_in, c_out, k):
+    return _packed_weight(wflat1, p_in, c_in, c_out, k), None
+
+
+def _packed_weight_bwd(p_in, c_in, c_out, k, _res, g):
+    inv = jnp.asarray(_packed_conv_inverse_indices(p_in, c_in, c_out, k))
+    dtaps = jnp.take(g.reshape(-1), inv, axis=0).sum(axis=1)
+    # slot 0 of wflat1 is the structural zero; its cotangent is discarded by
+    # the concat upstream anyway
+    return (jnp.concatenate([jnp.zeros((1,), dtaps.dtype), dtaps]),)
+
+
+_packed_weight.defvjp(_packed_weight_fwd, _packed_weight_bwd)
+
+
 def _pack_conv(p_conv, p_in: int, c_in: int, c_out: int, k: int = 3):
     """Gather the phase-packed [2,2,p_in²·c_in,p_out²·c_out] HWIO kernel (and
     phase-tiled bias) from the canonical [k,k,c_in,c_out] conv params."""
-    idx = jnp.asarray(_packed_conv_indices(p_in, c_in, c_out, k))
     w = p_conv["weight"].reshape(-1)
-    w = jnp.concatenate([jnp.zeros((1,), w.dtype), w])[idx]
+    wflat1 = jnp.concatenate([jnp.zeros((1,), w.dtype), w])
+    w = _packed_weight(wflat1, p_in, c_in, c_out, k)
     p_out = p_in // 2
     b = jnp.tile(p_conv["bias"], p_out * p_out)
     return w, b

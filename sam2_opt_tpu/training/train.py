@@ -55,6 +55,14 @@ def main():
                         choices=("float32", "bfloat16"),
                         help="rollout compute dtype; bfloat16 = mixed "
                              "precision (fp32 master weights/loss/optimizer)")
+    parser.add_argument("--comms-dtype", default=None,
+                        choices=("bfloat16",),
+                        help="gradient-collective precision (reference DDP "
+                             "comms-compression hook, trainer.py:300-311): "
+                             "bfloat16 halves DP gradient traffic by "
+                             "reducing bf16 grads across shards, then "
+                             "upcasting for the fp32 optimizer; requires "
+                             "--compute-dtype bfloat16")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--compile-cache-dir", default=None,
                         help="persistent XLA compilation cache dir; for "
@@ -164,6 +172,7 @@ def main():
         remat=args.remat,
         grad_accum_steps=args.grad_accum_steps,
         compute_dtype=args.compute_dtype,
+        comms_dtype=args.comms_dtype,
     )
     trainer = Trainer(cfg, params, tcfg, mesh=mesh)
     if mesh is not None and args.batch_size % mesh.shape["data"] != 0:

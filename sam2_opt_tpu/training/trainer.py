@@ -84,6 +84,17 @@ class TrainConfig:
     # (configs/sam2.1_training/sam2.1_hiera_b+_MOSE_finetune.yaml). bf16
     # doubles MXU rate and halves activation memory on TPU.
     compute_dtype: str = "float32"
+    # Gradient-collective precision (the reference's DDP comms-compression
+    # hook, trainer.py:300-311). Default None keeps fp32 gradient
+    # all-reduces — measured fact: even under compute_dtype=bfloat16 the
+    # cross-shard gradient reductions run in f32 (tools/inspect_comms_dtype.py),
+    # because gradients are assembled in fp32 accumulation. "bfloat16"
+    # differentiates with respect to the bf16-cast parameters so each grad
+    # leaf IS bf16 at its cross-shard reduction (halving DP gradient
+    # traffic), then upcasts to fp32 for accumulation and the optimizer —
+    # the same compress-reduce-upcast semantics as the reference hook.
+    # Requires compute_dtype="bfloat16".
+    comms_dtype: Optional[str] = None
 
 
 def build_train_step(model_cfg: SAM2Config, tcfg: TrainConfig, optimizer,
@@ -105,7 +116,15 @@ def build_train_step(model_cfg: SAM2Config, tcfg: TrainConfig, optimizer,
         cfg = dataclasses.replace(
             cfg, trunk=dataclasses.replace(cfg.trunk, remat_blocks=True)
         )
-    use_remat = tcfg.remat != "none"
+    # "blocks" does NOT additionally wrap the whole encoder in an outer
+    # jax.checkpoint: nesting one around per-block checkpoints makes the
+    # backward recompute every block TWICE (once for the outer remat, once
+    # per-block). Measured on-chip at the production shape (b+ @1024 T=8,
+    # tools/bench_train_mfu.py): outer+blocks 1909 ms/grad vs blocks-only
+    # 1780 ms — exactly one extra encoder forward (130 ms) — while the
+    # block-boundary activations the outer checkpoint would discard still
+    # fit the 16 GB chip.
+    use_remat = tcfg.remat == "encoder"
     # "blocks" also checkpoints each frame's track step (memory attention +
     # SAM heads + memory encoder) so the backward recomputes one frame at a
     # time — required alongside remat_blocks for b+ @1024² T=8 on 16 GB
@@ -113,14 +132,20 @@ def build_train_step(model_cfg: SAM2Config, tcfg: TrainConfig, optimizer,
     frozen_encoder = tcfg.freeze_image_encoder
     accum = max(int(tcfg.grad_accum_steps), 1)
     compute_dtype = jnp.dtype(tcfg.compute_dtype)
+    comms_dtype = jnp.dtype(tcfg.comms_dtype) if tcfg.comms_dtype else None
+    if comms_dtype is not None and comms_dtype != compute_dtype:
+        raise ValueError(
+            f"comms_dtype={tcfg.comms_dtype} requires compute_dtype to "
+            f"match (got {tcfg.compute_dtype}): the gradient collectives "
+            "inherit the dtype the loss is differentiated in"
+        )
+    from sam2_opt_tpu.models.model import _cast_tree
 
-    def loss_fn(params, images, masks, obj_valid, rng):
+    def _loss_of_cast_params(params, images, masks, obj_valid, rng):
+        """Loss as a function of ALREADY compute-dtype params (so grads wrt
+        these params are compute-dtype at their cross-shard reduction —
+        the comms_dtype="bfloat16" path differentiates here)."""
         if compute_dtype != jnp.float32:
-            # mixed precision: bf16 compute params/images; jax transposes
-            # the casts into fp32 gradient accumulation automatically
-            from sam2_opt_tpu.models.model import _cast_tree
-
-            params = _cast_tree(params, compute_dtype)
             images = images.astype(compute_dtype)
         B = images.shape[0]
         keys = jax.random.split(rng, B)
@@ -143,7 +168,62 @@ def build_train_step(model_cfg: SAM2Config, tcfg: TrainConfig, optimizer,
         losses, auxs = jax.vmap(one_video)(images, masks, obj_valid, keys)
         return jnp.mean(losses), {k: jnp.mean(v) for k, v in auxs.items()}
 
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    def loss_fn(params, images, masks, obj_valid, rng):
+        if compute_dtype != jnp.float32:
+            # mixed precision: bf16 compute params/images; jax transposes
+            # the casts into fp32 gradient accumulation automatically
+            params = _cast_tree(params, compute_dtype)
+        return _loss_of_cast_params(params, images, masks, obj_valid, rng)
+
+    _vg_master = jax.value_and_grad(loss_fn, has_aux=True)
+    _vg_cast = jax.value_and_grad(_loss_of_cast_params, has_aux=True)
+
+    if comms_dtype is None:
+        grad_fn = _vg_master
+    else:
+        # Comms compression (the reference DDP hook's compress-reduce-upcast,
+        # trainer.py:300-311). Measured fact (tools/inspect_comms_dtype.py):
+        # under plain GSPMD the gradient all-reduces are ALWAYS f32 — grads
+        # are assembled in fp32 accumulation, and differentiating wrt
+        # bf16-cast params does not move the collective either. The only way
+        # to reduce in bf16 is to own the reduction: shard_map over the
+        # "data" axis computes per-shard local grads with NO automatic
+        # collective, rounds them to comms_dtype, pmean's THAT (the bf16
+        # all-reduce), and upcasts per-shard for the fp32 optimizer.
+        if mesh is None or mesh.shape.get("model", 1) != 1:
+            raise ValueError(
+                "comms_dtype requires a data-parallel mesh (tp=1): the "
+                "explicit bf16 gradient pmean is sharded over 'data' only"
+            )
+        if accum != 1:
+            raise ValueError(
+                "comms_dtype with grad_accum_steps>1 is not supported"
+            )
+        try:
+            from jax.experimental.shard_map import shard_map
+        except ImportError:  # newer jax
+            from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def _local_grads(params, images, masks, obj_valid, rng):
+            # per-shard rng (layout-independent: keyed by mesh position)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+            (l, a), g = _vg_cast(_cast_tree(params, compute_dtype),
+                                 images, masks, obj_valid, rng)
+            g = _cast_tree(g, comms_dtype)   # bf16 leaves at the reduction
+            g = jax.lax.pmean(g, "data")     # <- the bf16 all-reduce
+            l = jax.lax.pmean(l, "data")
+            a = jax.tree_util.tree_map(
+                lambda v: jax.lax.pmean(v, "data"), a)
+            return (l, a), _cast_tree(g, jnp.float32)
+
+        d5 = P("data", None, None, None, None)
+        grad_fn = shard_map(
+            _local_grads, mesh=mesh,
+            in_specs=(P(), d5, d5, P("data", None), P()),
+            out_specs=((P(), P()), P()),
+            check_rep=False,
+        )
 
     def accum_grads(params, images, masks, obj_valid, rng):
         """Gradient accumulation over `accum` strided micro-batches."""

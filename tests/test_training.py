@@ -413,6 +413,95 @@ def test_compute_dtype_bfloat16_mixed_precision(tiny128_cfg, tiny128_params):
     assert moved, "bf16 step did not update the params"
 
 
+def test_comms_dtype_bfloat16_matches_plain_bf16_step(tiny128_cfg,
+                                                      tiny128_params):
+    """comms_dtype="bfloat16" (the reference DDP comms-compression hook,
+    trainer.py:300-311) owns the gradient reduction via shard_map: local
+    per-shard grads are rounded to bf16, pmean'd across the data axis (the
+    bf16 all-reduce), and upcast for the fp32 optimizer. On the 8-shard
+    mesh with an rng-independent loss (mask input, no clicks) this must
+    agree with the plain bf16 step up to bf16 reduction rounding. Also
+    checks the incompatible-config errors raise."""
+    import pytest
+
+    from sam2_opt_tpu.parallel import mesh as mesh_lib
+    from sam2_opt_tpu.training.optimizer import build_optimizer
+    from sam2_opt_tpu.training.trainer import TrainConfig, build_train_step
+
+    cfg = tiny128_cfg
+    mesh = mesh_lib.make_mesh(dp=8, tp=1)
+    B, T = 8, 2
+    rng = np.random.default_rng(23)
+    images = mesh_lib.put_global_batch(
+        mesh, np.asarray(rng.random((B, T, 128, 128, 3)), np.float32))
+    masks_np = np.zeros((B, T, 1, 128, 128), bool)
+    masks_np[:, :, :, 20:80, 50:110] = True
+    masks = mesh_lib.put_global_batch(mesh, masks_np)
+    ov = mesh_lib.put_global_batch(mesh, np.ones((B, 1), bool))
+    key = jax.random.PRNGKey(3)
+    lr = jnp.float32(1e-4)
+
+    class _PassthroughOpt:
+        """updates = -grads, so (params_before - params_after) IS the
+        reduced gradient: comparing raw gradients avoids Adam's sign-like
+        normalization, where a near-zero grad flipped by bf16 rounding
+        legitimately moves a param by a full +-lr (observed flake)."""
+
+        def init(self, params):
+            return ()
+
+        def update(self, grads, state, params, lr):
+            return jax.tree_util.tree_map(lambda g: -g, grads), state
+
+    outs = {}
+    for comms in (None, "bfloat16"):
+        params = mesh_lib.shard_params(
+            mesh, jax.tree_util.tree_map(jnp.copy, tiny128_params))
+        tcfg = TrainConfig(
+            batch_size=B, num_frames=T, num_correction_clicks=0,
+            compute_dtype="bfloat16", comms_dtype=comms,
+        )
+        opt = _PassthroughOpt()
+        step = build_train_step(cfg, tcfg, opt, mesh=mesh, use_mask=True)
+        new_params, _, metrics = step(
+            params, opt.init(params), images, masks, ov, key, lr
+        )
+        grads = jax.tree_util.tree_map(
+            lambda p0, p1: np.asarray(p0, np.float64) -
+                           np.asarray(p1, np.float64),
+            tiny128_params, new_params)
+        outs[comms] = (float(metrics["loss"]), grads)
+
+    l_plain, g_plain = outs[None]
+    l_comms, g_comms = outs["bfloat16"]
+    # identical data, rng-free loss: only the gradient reduction dtype
+    # differs (bf16-rounded partials vs f32 accumulation)
+    assert abs(l_comms - l_plain) / max(abs(l_plain), 1e-6) < 1e-3
+    # global gradient scale: leaves orders of magnitude below it carry
+    # bf16-rounding noise, not signal — their relative error is meaningless
+    # (observed: a ~1e-7-grad leaf under a ~1e-2 global scale differing
+    # ~100% relatively while every significant leaf agreed)
+    gmax = max(float(np.abs(x).max())
+               for x in jax.tree_util.tree_leaves(g_plain))
+    for a, b in zip(jax.tree_util.tree_leaves(g_plain),
+                    jax.tree_util.tree_leaves(g_comms)):
+        # bf16 rounding of the reduced partials is ~0.4% relative; a
+        # missing/incorrect pmean would be off 8x on significant leaves
+        gscale = float(np.abs(a).max()) + 1e-30
+        np.testing.assert_allclose(
+            a, b, rtol=0.05, atol=0.02 * gscale + 1e-4 * gmax)
+
+    opt = build_optimizer(tiny128_params, trunk_depth=cfg.trunk.depth)
+    with pytest.raises(ValueError, match="comms_dtype"):
+        build_train_step(
+            cfg, TrainConfig(compute_dtype="float32",
+                             comms_dtype="bfloat16"), opt)
+    with pytest.raises(ValueError, match="data-parallel mesh"):
+        build_train_step(
+            cfg, TrainConfig(compute_dtype="bfloat16",
+                             comms_dtype="bfloat16"), opt)
+
+
 def test_coco_rle_roundtrip():
     from sam2_opt_tpu.training.data import decode_coco_rle, encode_coco_rle
 

@@ -50,11 +50,23 @@ def _timed(fn, k):
     return time.time() - t0
 
 
-def diff_rate(fn, k_lo, k_hi, label):
-    t0 = time.time()
-    float(fn(k_lo))
-    float(fn(k_hi))
-    print(f"[mfu] {label} compile+first: {time.time()-t0:.1f}s", flush=True)
+def diff_rate(fn, k_lo, k_hi, label, retries=2):
+    # the axon relay's remote_compile flakes transiently ("response body
+    # closed before all bytes were read"); retry the compile+first call
+    for attempt in range(retries + 1):
+        try:
+            t0 = time.time()
+            float(fn(k_lo))
+            float(fn(k_hi))
+            print(f"[mfu] {label} compile+first: {time.time()-t0:.1f}s",
+                  flush=True)
+            break
+        except Exception as e:
+            if attempt == retries or "remote_compile" not in repr(e):
+                raise
+            print(f"[mfu] {label} compile flaked (attempt {attempt+1}), "
+                  f"retrying: {repr(e)[:120]}", flush=True)
+            time.sleep(10)
     t_lo, t_hi = _timed(fn, k_lo), _timed(fn, k_hi)
     per = max((t_hi - t_lo) / (k_hi - k_lo), 1e-6)
     print(f"[mfu] {label}: {per*1000:.1f} ms/iter", flush=True)
@@ -87,18 +99,30 @@ def main():
         return loss_fn
 
     def k_loop(body):
+        # the carry feeds back into the IMAGES (x 1e-30, numerically inert)
+        # so no part of the computation is loop-invariant: without this, XLA
+        # hoists every key-independent chunk (the whole encoder forward and
+        # its remat recomputes) out of the fori_loop and the differencing
+        # under-measures (fwd_encode measured 0.0 ms/iter before this fix)
         @partial(jax.jit, static_argnames=("k",))
         def run(p, im, g, k):
             def step(i, acc):
                 key = jax.random.fold_in(jax.random.PRNGKey(2), i)
-                return acc + body(p, im, g, key)
+                im_i = im + (acc * 1e-30).astype(im.dtype)
+                return acc + body(p, im_i, g, key)
             return jax.lax.fori_loop(0, k, step, jnp.float32(0.0))
         return lambda k: run(params, imgs, gt, k)
 
     def grad_body(loss_fn):
         def body(p, im, g, key):
             _, grads = jax.value_and_grad(loss_fn)(p, im, g, key)
-            return jnp.mean(grads["no_obj_ptr"].astype(jnp.float32))
+            # consume EVERY gradient leaf: reducing a single leaf lets XLA
+            # dead-code-eliminate most of the backward (measured: the
+            # single-leaf version under-reported grad_base by ~45%)
+            return sum(
+                jnp.sum(x.astype(jnp.float32))
+                for x in jax.tree_util.tree_leaves(grads)
+            )
         return body
 
     results = {}
@@ -139,6 +163,32 @@ def main():
                     cfg0.trunk, remat_blocks=True))
                 body = grad_body(loss_for(cfg, False, False))
                 results[mode] = diff_rate(k_loop(body), 1, 3, mode)
+            elif mode in ("grad_encode", "grad_encode_noremat",
+                          "grad_encode_noouter"):
+                # encoder-only fwd+bwd: separates trunk backward cost from
+                # the rollout (memory attention / SAM heads / mem encoder)
+                # backward. "noremat" = no checkpoints anywhere; "noouter" =
+                # per-block checkpoints without the outer encoder one.
+                remat_blocks = mode != "grad_encode_noremat"
+                outer = mode == "grad_encode"
+                cfg = dataclasses.replace(cfg0, trunk=dataclasses.replace(
+                    cfg0.trunk, remat_blocks=remat_blocks))
+
+                def enc_loss(p, im, g, key):
+                    p = _cast_tree(p, DT)
+
+                    def enc(imm):
+                        out = base.forward_image(
+                            p, cfg, base.image_normalize(imm.astype(DT)))
+                        return sum(
+                            jnp.sum(f.astype(jnp.float32) ** 2)
+                            for f in out["backbone_fpn"]
+                        )
+                    f = jax.checkpoint(enc) if outer else enc
+                    return f(im)
+
+                body = grad_body(enc_loss)
+                results[mode] = diff_rate(k_loop(body), 1, 3, mode)
             elif mode == "opt":
                 optimizer = build_optimizer(params,
                                             trunk_depth=cfg0.trunk.depth)
@@ -149,8 +199,10 @@ def main():
                 def run(p, s, k):
                     def step(i, carry):
                         p, s = carry
+                        # grads derive from the evolving params so the
+                        # update chain cannot be hoisted out of the loop
                         grads = jax.tree_util.tree_map(
-                            lambda x: jnp.full_like(x, 1e-6), p)
+                            lambda x: x * 1e-8 + 1e-6, p)
                         updates, s = optimizer.update(
                             grads, s, p, jnp.float32(3e-6))
                         return optax.apply_updates(p, updates), s

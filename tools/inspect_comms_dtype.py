@@ -40,14 +40,14 @@ from sam2_opt_tpu.training.optimizer import build_optimizer
 from sam2_opt_tpu.training.trainer import TrainConfig, build_train_step
 
 
-def collective_report(compute_dtype: str):
+def collective_report(compute_dtype: str, comms_dtype=None):
     cfg = model_config("hiera_t", image_size=128)
     mesh = mesh_lib.make_mesh(dp=8, tp=1)
     params = mesh_lib.shard_params(mesh, init_params(cfg, jax.random.PRNGKey(0)))
     optimizer = build_optimizer(params, trunk_depth=cfg.trunk.depth)
     opt_state = optimizer.init(params)
     tcfg = TrainConfig(batch_size=8, num_frames=2, compute_dtype=compute_dtype,
-                       num_correction_clicks=0)
+                       comms_dtype=comms_dtype, num_correction_clicks=0)
     step = build_train_step(cfg, tcfg, optimizer, mesh=mesh)
 
     B, T, S = 8, 2, cfg.image_size
@@ -81,12 +81,13 @@ def collective_report(compute_dtype: str):
 
 
 def main():
-    for dt in ("bfloat16", "float32"):
-        types, elems = collective_report(dt)
+    for dt, comms in (("bfloat16", None), ("float32", None),
+                      ("bfloat16", "bfloat16")):
+        types, elems = collective_report(dt, comms)
         bytes_per = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
                      "pred": 1}
         total = {k: v * bytes_per.get(k, 4) for k, v in elems.items()}
-        print(f"compute_dtype={dt}:")
+        print(f"compute_dtype={dt} comms_dtype={comms}:")
         print(f"  all-reduce result signatures: {dict(types)}")
         print(f"  reduced elements by dtype:    {dict(elems)}")
         print(f"  reduced bytes by dtype:       {total}")

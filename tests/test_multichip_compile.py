@@ -123,12 +123,13 @@ def test_bplus_train_step_1024_compiles_under_mesh(mesh8):
     _compile_bplus_train_step(mesh8, num_frames=2, clicks=1)
 
 
-@pytest.mark.skipif(
-    __import__("os").environ.get("SAM2_TPU_HEAVY_COMPILE_TESTS") != "1",
-    reason="T=8 b+ compile takes ~21 min on CPU XLA; "
-           "set SAM2_TPU_HEAVY_COMPILE_TESTS=1",
-)
+@pytest.mark.slow
 def test_bplus_train_step_1024_T8_full_recipe_compiles_under_mesh(mesh8):
     """The FULL MOSE-recipe shape (reference sam2/training/README.md:68):
-    hiera-b+ @1024², 8-frame rollout, 2 correction clicks."""
+    hiera-b+ @1024², 8-frame rollout, 2 correction clicks.
+
+    Deselected by default via the `slow` marker (pyproject addopts); run
+    explicitly with `pytest -m slow tests/test_multichip_compile.py`.
+    Recorded green run: round 5, 1-CPU box — see the wall time noted in
+    doc/benchmark.md ("Training step" section)."""
     _compile_bplus_train_step(mesh8, num_frames=8, clicks=2)

@@ -130,6 +130,6 @@ def test_bplus_train_step_1024_T8_full_recipe_compiles_under_mesh(mesh8):
 
     Deselected by default via the `slow` marker (pyproject addopts); run
     explicitly with `pytest -m slow tests/test_multichip_compile.py`.
-    Recorded green run: round 5, 1-CPU box — see the wall time noted in
-    doc/benchmark.md ("Training step" section)."""
+    Recorded green run: round 5, 1-CPU box, 491 s wall (the round-4 ~21 min
+    estimate predated the un-nested remat layout, which shrank the graph)."""
     _compile_bplus_train_step(mesh8, num_frames=8, clicks=2)

@@ -135,7 +135,8 @@ def losses(p, dep):
 def memenc_down(p, dep):
     from sam2_opt_tpu.models import memory_encoder as me
 
-    masks = HIGH_RES.astype(DT) + (dep * 1e-30).astype(DT)
+    # [B,1,1024,1024] logits -> NHWC [B,1024,1024,1] mask input
+    masks = HIGH_RES.transpose(0, 2, 3, 1).astype(DT) + (dep * 1e-30).astype(DT)
     m = me.mask_downsampler_packed(
         p["memory_encoder"]["mask_downsampler"], masks, cfg.memory_encoder)
     return jnp.sum(m.astype(jnp.float32))

@@ -259,12 +259,15 @@ def main():
                     p = _ct(p, jnp.dtype(t_dtype))
                     im = im.astype(jnp.dtype(t_dtype))
                 # use_remat=False: no outer encoder checkpoint on top of the
-                # per-block ones (remat_blocks above) — the nesting costs an
-                # extra encoder forward per backward (tools/bench_train_mfu.py)
+                # per-block ones (remat_blocks above); remat_frames=False:
+                # the Pallas flash backward removed the fp32 logit temps
+                # that used to force per-frame checkpointing at this shape
+                # (TrainConfig.remat="blocks" semantics; "blocks_frames"
+                # restores it for tighter-memory shapes)
                 loss, _ = sam2_train.video_train_loss(
                     p, tcfg_m, im, gt, key,
                     num_correction_clicks=2, use_remat=False,
-                    remat_frames=True,
+                    remat_frames=False,
                 )
                 return loss
 

@@ -44,10 +44,12 @@ def main():
     # 16 GB v5e needs --remat blocks --compute-dtype bfloat16 (the
     # reference MOSE recipe's `amp: bfloat16`); see TrainConfig
     parser.add_argument("--remat", default="encoder",
-                        choices=("none", "encoder", "blocks"),
+                        choices=("none", "encoder", "blocks", "blocks_frames"),
                         help="rematerialization scope (blocks = per trunk "
-                             "block + per rollout frame; needed for "
-                             "hiera-b+ @1024² 8-frame rollouts on 16 GB)")
+                             "block — fits hiera-b+ @1024² 8-frame rollouts "
+                             "on 16 GB since the Pallas flash backward; "
+                             "blocks_frames additionally checkpoints each "
+                             "rollout frame for tighter-memory shapes)")
     parser.add_argument("--grad-accum-steps", type=int, default=1,
                         help="sequential micro-batches per optimizer step; "
                              "batch size must be divisible by this (x dp)")

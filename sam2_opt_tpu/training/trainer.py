@@ -67,9 +67,11 @@ class TrainConfig:
     # memory knobs for production shapes (hiera-b+ @1024², 8-frame rollouts
     # per the reference MOSE recipe, sam2/training/README.md:68):
     # remat: "none" | "encoder" (checkpoint the whole per-rollout encoder,
-    # the historical default) | "blocks" (additionally checkpoint every
-    # trunk block — backward recomputes one block at a time; required to
-    # fit b+ @1024² T=8 on one 16 GB v5e chip)
+    # the historical default) | "blocks" (checkpoint every trunk block —
+    # backward recomputes one block at a time; fits b+ @1024² T=8 on one
+    # 16 GB v5e chip since the Pallas flash backward) | "blocks_frames"
+    # (blocks + per-rollout-frame checkpointing of the track step, for
+    # tighter-memory shapes — costs ~20% step time at the MOSE shape)
     remat: str = "encoder"
     # split each global batch into this many sequential micro-batches,
     # accumulating gradients before the single optimizer update (semantics
@@ -106,13 +108,14 @@ def build_train_step(model_cfg: SAM2Config, tcfg: TrainConfig, optimizer,
     (jax.eval_shape) params at production shapes without allocating them —
     the Trainer calls this with its live config/optimizer/mesh.
 
-    Honors tcfg.remat ("none"/"encoder"/"blocks" — see TrainConfig) and
+    Honors tcfg.remat ("none"/"encoder"/"blocks"/"blocks_frames" — see
+    TrainConfig) and
     tcfg.grad_accum_steps (sequential micro-batches via lax.scan with a
     single optimizer update; micro-batches are STRIDED over the batch axis
     so each DP shard contributes equally to every micro-step).
     """
     cfg = model_cfg
-    if tcfg.remat == "blocks":
+    if tcfg.remat in ("blocks", "blocks_frames"):
         cfg = dataclasses.replace(
             cfg, trunk=dataclasses.replace(cfg.trunk, remat_blocks=True)
         )
@@ -125,10 +128,15 @@ def build_train_step(model_cfg: SAM2Config, tcfg: TrainConfig, optimizer,
     # block-boundary activations the outer checkpoint would discard still
     # fit the 16 GB chip.
     use_remat = tcfg.remat == "encoder"
-    # "blocks" also checkpoints each frame's track step (memory attention +
-    # SAM heads + memory encoder) so the backward recomputes one frame at a
-    # time — required alongside remat_blocks for b+ @1024² T=8 on 16 GB
-    remat_frames = tcfg.remat == "blocks"
+    # "blocks_frames" additionally checkpoints each frame's track step
+    # (memory attention + SAM heads + memory encoder) so the backward
+    # recomputes one frame at a time. Round 4 needed this to fit b+ @1024²
+    # T=8 on 16 GB; the Pallas flash backward removed the fp32 logit temps
+    # that forced it, and plain "blocks" now both FITS and runs 1192 → 977
+    # ms/grad at that shape (tools/bench_train_mfu.py grad_noframes) — so
+    # "blocks" no longer frame-checkpoints and "blocks_frames" remains the
+    # lever for tighter-memory shapes (longer rollouts, more objects).
+    remat_frames = tcfg.remat == "blocks_frames"
     frozen_encoder = tcfg.freeze_image_encoder
     accum = max(int(tcfg.grad_accum_steps), 1)
     compute_dtype = jnp.dtype(tcfg.compute_dtype)
